@@ -1,0 +1,49 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware isn't available in CI; the standard JAX substitute is
+``xla_force_host_platform_device_count`` (SURVEY.md §4). The build image
+pins JAX_PLATFORMS=axon through a sitecustomize, so the env var alone is
+not enough — ``jax.config.update`` after import is what actually wins.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def depth_ramp():
+    """A smooth synthetic depth map with structure: radial ramp + diagonal."""
+    h, w = 96, 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = 0.5 + 0.3 * np.sin(xx / 17.0) * np.cos(yy / 11.0) + 0.2 * (xx / w - 0.5)
+    return np.clip(d, 0.0, 1.0).astype(np.float32)
+
+
+@pytest.fixture
+def rgb_frame(rng):
+    h, w = 96, 160
+    base = rng.random((h, w, 3), dtype=np.float32)
+    # add smooth structure so warps/blurs are meaningful
+    yy, xx = np.mgrid[0:h, 0:w]
+    base[..., 0] = 0.5 + 0.5 * np.sin(xx / 9.0)
+    base[..., 1] = 0.5 + 0.5 * np.cos(yy / 7.0)
+    return np.clip(base, 0.0, 1.0).astype(np.float32)

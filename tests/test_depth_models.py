@@ -1,0 +1,88 @@
+"""Flax depth model vs transformers-torch ground truth (offline: a tiny
+DepthAnything is instantiated from config, its random weights converted, and
+both frameworks must produce the same depth map)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from visiondepth3d_tpu.depth import DA_TINY, DepthPredictor, init_random
+from visiondepth3d_tpu.depth.convert import convert_depth_anything
+from visiondepth3d_tpu.depth.dpt import DepthAnything
+
+
+def _tiny_hf_model():
+    from transformers import DepthAnythingConfig, DepthAnythingForDepthEstimation
+    from transformers.models.dinov2 import Dinov2Config
+
+    bb = Dinov2Config(
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=2,
+        mlp_ratio=4,
+        image_size=70,
+        patch_size=14,
+        layerscale_value=1.0,
+        out_indices=[1, 2, 3, 4],
+        apply_layernorm=True,
+        reshape_hidden_states=False,
+    )
+    cfg = DepthAnythingConfig(
+        backbone_config=bb,
+        reassemble_hidden_size=32,
+        patch_size=14,
+        neck_hidden_sizes=[16, 24, 32, 40],
+        fusion_hidden_size=16,
+        head_hidden_size=8,
+        reassemble_factors=[4, 2, 1, 0.5],
+    )
+    torch.manual_seed(0)
+    model = DepthAnythingForDepthEstimation(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    hf = _tiny_hf_model()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_depth_anything(state, DA_TINY)
+    return hf, params
+
+
+def test_depth_anything_parity_native_size(tiny_pair):
+    hf, params = tiny_pair
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 70, 70, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(np.moveaxis(x, -1, 1))).predicted_depth.numpy()
+    model = DepthAnything(DA_TINY)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=2e-4)
+
+
+def test_depth_anything_parity_interp_pos_embed(tiny_pair):
+    # different input size exercises bicubic position-embedding re-gridding
+    hf, params = tiny_pair
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 98, 126, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(np.moveaxis(x, -1, 1))).predicted_depth.numpy()
+    model = DepthAnything(DA_TINY)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-4)
+
+
+def test_predictor_contract():
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=70), inference_size=70)
+    frames = np.random.default_rng(0).random((2, 48, 64, 3)).astype(np.float32)
+    d01 = np.asarray(pred.predict_01(frames, out_hw=(48, 64)))
+    assert d01.shape == (2, 48, 64)
+    assert d01.min() >= 0.0 and d01.max() <= 1.0

@@ -1,0 +1,108 @@
+"""End-to-end media pipeline: synthetic y4m clip + depth video -> SBS y4m."""
+
+import numpy as np
+import pytest
+
+from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+from visiondepth3d_tpu.io.depth_io import Depth16Reader, Depth16Writer
+from visiondepth3d_tpu.pipeline import RenderConfig, render_stereo_video
+from visiondepth3d_tpu.stereo import StereoParams
+
+
+def _write_clip(path, t=8, h=72, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    with Y4MWriter(path, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f = np.zeros((h, w, 3), np.uint8)
+            f[..., 0] = ((xx * 2 + i * 8) % 256).astype(np.uint8)
+            f[..., 1] = ((yy * 3) % 256).astype(np.uint8)
+            f[..., 2] = 128
+            # moving box (the "subject")
+            x0 = 20 + 6 * i
+            f[20:50, x0 : x0 + 30] = (230, 40, 40)
+            wr.write(f)
+            frames.append(f)
+    return frames
+
+
+def _write_depth(path, t=8, h=72, w=128):
+    with Y4MWriter(path, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            d = (xx / w * 200 + 20).astype(np.uint8)
+            x0 = 20 + 6 * i
+            d[20:50, x0 : x0 + 30] = 60  # box nearer than background
+            wr.write(np.repeat(d[..., None], 3, axis=-1))
+
+
+def test_y4m_roundtrip(tmp_path):
+    path = tmp_path / "clip.y4m"
+    frames = _write_clip(path)
+    with Y4MReader(path) as rd:
+        assert rd.width == 128 and rd.height == 72
+        assert abs(rd.fps - 24.0) < 1e-6
+        got = list(rd)
+    assert len(got) == len(frames)
+    # YUV420 is lossy; luma should round-trip within a few counts
+    for a, b in zip(got, frames):
+        ga = a.astype(np.float32).mean(axis=-1)
+        gb = b.astype(np.float32).mean(axis=-1)
+        assert np.abs(ga - gb).mean() < 6.0
+
+
+def test_depth16_roundtrip(tmp_path):
+    path = tmp_path / "d.vd16"
+    d = (np.random.default_rng(0).random((4, 32, 48)) * 65535).astype(np.uint16)
+    with Depth16Writer(path, 48, 32, 24.0) as wr:
+        for i in range(4):
+            wr.write(d[i])
+    rd = Depth16Reader(path)
+    got = np.stack(list(rd))
+    rd.close()
+    np.testing.assert_array_equal(got, d)
+
+
+@pytest.mark.parametrize("fmt,out_w_factor", [("Half-SBS", 1), ("Full-SBS", 2)])
+def test_render_end_to_end(tmp_path, fmt, out_w_factor):
+    clip = tmp_path / "clip.y4m"
+    depth = tmp_path / "depth.y4m"
+    out = tmp_path / "out.y4m"
+    _write_clip(clip)
+    _write_depth(depth)
+    cfg = RenderConfig(
+        output_format=fmt,
+        output_height=72,
+        preserve_original_aspect=True,
+        chunk_size=4,
+    )
+    prog = render_stereo_video(clip, depth, out, StereoParams(), cfg)
+    assert prog.frames_done == 8
+    with Y4MReader(out) as rd:
+        outs = list(rd)
+        assert len(outs) == 8
+        assert rd.height == 72
+        assert rd.width == 128 * out_w_factor
+    # stereo displacement: left and right halves must differ around the box
+    full = outs[4].astype(np.float32)
+    half = full.shape[1] // 2
+    assert np.abs(full[:, :half] - full[:, half:]).mean() > 0.5
+
+
+def test_render_anaglyph(tmp_path):
+    clip = tmp_path / "clip.y4m"
+    depth = tmp_path / "depth.y4m"
+    out = tmp_path / "out_ana.y4m"
+    _write_clip(clip, t=4)
+    _write_depth(depth, t=4)
+    cfg = RenderConfig(
+        output_format="Red-Cyan Anaglyph",
+        preserve_original_aspect=True,
+        chunk_size=4,
+    )
+    prog = render_stereo_video(clip, depth, out, StereoParams(), cfg)
+    assert prog.frames_done == 4
+    with Y4MReader(out) as rd:
+        assert rd.width == 128 and rd.height == 72
+        assert len(list(rd)) == 4

@@ -1,0 +1,84 @@
+"""Depth model wrapper: preprocessing, jitted forward, postprocessing.
+
+Mirrors the uniform callable convention of the reference's pipe dispatcher
+(``_run_pipe_or_tile`` / ``pipe(images) -> [{"predicted_depth": ...}]``,
+render_depth.py:201-268) with a TPU-shaped API: batches of frames in, batch
+of depth maps out, one jitted graph, static inference size snapped to the
+ViT patch multiple (snap_for_vda analog, render_depth.py:56-59).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+from .configs import DPTConfig
+from .dpt import DepthAnything
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def snap(value: int, multiple: int) -> int:
+    """Largest multiple of ``multiple`` that is <= value (min one)."""
+    return max(multiple, (value // multiple) * multiple)
+
+
+@dataclasses.dataclass
+class DepthPredictor:
+    """A loaded depth model: params + jitted forward at a fixed size."""
+
+    cfg: DPTConfig
+    params: dict
+    inference_size: int = 518
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        self.model = DepthAnything(self.cfg)
+        patch = self.cfg.backbone.patch_size
+        self._size = snap(self.inference_size, patch)
+
+        @jax.jit
+        def forward(params, frames01):  # [B, H, W, 3] in [0, 1]
+            x = resize_bilinear(frames01, (self._size, self._size),
+                                channel_last=True)
+            mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+            std = jnp.asarray(IMAGENET_STD, x.dtype)
+            x = (x - mean) / std
+            if self.dtype == "bfloat16":
+                x = x.astype(jnp.bfloat16)
+                params_c = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+            else:
+                params_c = params
+            depth = self.model.apply({"params": params_c}, x)
+            return depth.astype(jnp.float32)  # [B, s, s] raw relative depth
+
+        self._forward = forward
+
+    def __call__(self, frames01: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] float RGB in [0, 1] -> [B, s, s] raw depth."""
+        return self._forward(self.params, jnp.asarray(frames01))
+
+    def predict_01(self, frames01, out_hw: tuple[int, int] | None = None):
+        """Depth normalized per-batch to [0, 1] and resized to out_hw —
+        the uniform contract the stereo stage consumes."""
+        d = self(frames01)
+        lo = jnp.min(d, axis=(1, 2), keepdims=True)
+        hi = jnp.max(d, axis=(1, 2), keepdims=True)
+        d01 = (d - lo) / jnp.maximum(hi - lo, 1e-6)
+        if out_hw is not None:
+            d01 = resize_bilinear(d01, out_hw, channel_last=False)
+        return d01
+
+
+def init_random(cfg: DPTConfig, seed: int = 0, size: int | None = None) -> dict:
+    """Random-init params (tests / benchmarks without checkpoints)."""
+    model = DepthAnything(cfg)
+    s = size or cfg.backbone.image_size
+    x = jnp.zeros((1, s, s, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), x)["params"]

@@ -1,0 +1,124 @@
+"""Depth model catalog.
+
+The reference ships a 25+ entry dropdown (load_supported_models,
+render_depth.py:686-726) spanning HF transformer models, ONNX exports and
+diffusion pipelines. Architecturally they reduce to these families; each
+catalog entry names its family, our config, the upstream checkpoint id (for
+weight conversion on hosts with the checkpoint available) and the reference
+dropdown names it covers.
+
+Families:
+- ``dpt_dinov2``  ViT/DINOv2 + DPT head (Flax, depth/dpt.py): Depth Anything
+  V1/V2 S/B/L, Distill-Any-Depth, DepthPro-style relative variants.
+- ``dpt_vit``     classic DPT/MiDaS ViT+hybrid heads (planned port).
+- ``diffusion``   Marigold (SD UNet) and DepthCrafter (SVD ST-UNet)
+  (depth/diffusion/).
+- ``onnx``        reference-only ONNX graphs (VDA, RIFE, Distill-ONNX) —
+  covered by Flax ports of the same architectures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import configs
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    name: str
+    family: str
+    config: object | None
+    hf_id: str | None
+    reference_names: tuple = ()
+
+
+CATALOG: dict[str, ModelEntry] = {}
+
+
+def _add(entry: ModelEntry):
+    CATALOG[entry.name] = entry
+
+
+_add(ModelEntry(
+    "depth-anything-v2-small", "dpt_dinov2", configs.DA_V2_SMALL,
+    "depth-anything/Depth-Anything-V2-Small-hf",
+    ("Depth Anything V2 Small",),
+))
+_add(ModelEntry(
+    "depth-anything-v2-base", "dpt_dinov2", configs.DA_V2_BASE,
+    "depth-anything/Depth-Anything-V2-Base-hf",
+    ("Depth Anything V2 Base",),
+))
+_add(ModelEntry(
+    "depth-anything-v2-large", "dpt_dinov2", configs.DA_V2_LARGE,
+    "depth-anything/Depth-Anything-V2-Large-hf",
+    ("Depth Anything V2 Large",),
+))
+_add(ModelEntry(
+    "depth-anything-v1-small", "dpt_dinov2", configs.DA_V2_SMALL,
+    "LiheYoung/depth-anything-small-hf",
+    ("Depth Anything V1 Small",),
+))
+_add(ModelEntry(
+    "depth-anything-v1-base", "dpt_dinov2", configs.DA_V2_BASE,
+    "LiheYoung/depth-anything-base-hf",
+    ("Depth Anything V1 Base",),
+))
+_add(ModelEntry(
+    "depth-anything-v1-large", "dpt_dinov2", configs.DA_V2_LARGE,
+    "LiheYoung/depth-anything-large-hf",
+    ("Depth Anything V1 Large",),
+))
+_add(ModelEntry(
+    "distill-any-depth-small", "dpt_dinov2", configs.DA_V2_SMALL,
+    "xingyang1/Distill-Any-Depth-Small-hf",
+    ("Distill Any Depth Small",),
+))
+_add(ModelEntry(
+    "distill-any-depth-large", "dpt_dinov2", configs.DA_V2_LARGE,
+    "xingyang1/Distill-Any-Depth-Large-hf",
+    ("Distill Any Depth Large",),
+))
+_add(ModelEntry(
+    "marigold", "diffusion", None, "prs-eth/marigold-depth-v1-0",
+    ("Marigold Depth (Diffusion)",),
+))
+_add(ModelEntry(
+    "depthcrafter", "diffusion", None, "tencent/DepthCrafter",
+    ("DepthCrafter (Video Diffusion)",),
+))
+# classic DPT family (Flax port planned; listed for catalog completeness)
+for name, hf in [
+    ("dpt-large", "Intel/dpt-large"),
+    ("dpt-beit-large-512", "Intel/dpt-beit-large-512"),
+    ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
+    ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),
+    ("depth-pro", "apple/DepthPro-hf"),
+]:
+    _add(ModelEntry(name, "dpt_vit", None, hf, (name,)))
+
+
+def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
+                   seed: int = 0):
+    """Instantiate a DepthPredictor for a catalog entry.
+
+    checkpoint: path to a .safetensors file (converted on load) or a ready
+    params pytree; None random-initializes (shape/compile testing).
+    """
+    from .convert import convert_depth_anything, load_safetensors_state
+    from .model import DepthPredictor, init_random
+
+    entry = CATALOG[name]
+    if entry.family != "dpt_dinov2":
+        raise NotImplementedError(
+            f"{name}: family {entry.family} loads via its own module"
+        )
+    cfg = entry.config
+    if checkpoint is None:
+        params = init_random(cfg, seed, size=inference_size)
+    elif isinstance(checkpoint, dict):
+        params = checkpoint
+    else:
+        params = convert_depth_anything(load_safetensors_state(checkpoint), cfg)
+    return DepthPredictor(cfg, params, inference_size)

@@ -1,0 +1,66 @@
+"""Frame/depth conversions and quantization points.
+
+The reference converts at fixed points (frame_to_tensor / depth_to_tensor /
+tensor_to_frame, render_3d.py:135-143, 289-291): uint8 BGR -> float RGB/255
+on the way in, float -> ``(x * 255).astype(uint8)`` (truncation!) on the way
+out. Those truncations are part of the numerical contract the SSIM target
+bakes in, so ``quantize_u8`` reproduces them exactly; the fast path skips
+them and stays in float end-to-end.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# cv2 BGR2GRAY coefficients (same as Rec.601 luma on RGB)
+_GRAY_RGB = (0.299, 0.587, 0.114)
+
+
+def u8_to_float(img_u8) -> jnp.ndarray:
+    """uint8 [..., C] -> float32 in [0, 1]."""
+    return jnp.asarray(img_u8, dtype=jnp.float32) / 255.0
+
+
+def float_to_u8_trunc(img: jnp.ndarray) -> jnp.ndarray:
+    """tensor_to_frame parity: (x * 255) truncated toward zero to uint8."""
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def float_to_u8_round(img: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest u8 (the better default for final encode)."""
+    return jnp.clip(jnp.round(img * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def quantize_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Apply the reference's u8 truncation round-trip while staying in float.
+
+    quantize_u8(x) == float(u8(trunc(x*255))) / 255 — used by parity mode to
+    reproduce the reference's host round-trips without leaving the device.
+    """
+    return jnp.floor(jnp.clip(img, 0.0, 1.0) * 255.0) / 255.0
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] RGB -> [...] gray with cv2/Rec.601 weights (float path).
+
+    cv2's u8 conversion uses fixed-point round-to-nearest; callers that need
+    exact u8 parity should quantize with round, not trunc.
+    """
+    return (
+        _GRAY_RGB[0] * rgb[..., 0]
+        + _GRAY_RGB[1] * rgb[..., 1]
+        + _GRAY_RGB[2] * rgb[..., 2]
+    )
+
+
+def depth_frame_to_01(depth_rgb_u8) -> jnp.ndarray:
+    """depth_to_tensor parity (render_3d.py:140-143): BGR depth frame ->
+    gray/255. Input here is RGB uint8 (we decode to RGB); gray weights are
+    symmetric to the reference's BGR2GRAY on a grayscale-ish source."""
+    gray = rgb_to_gray(jnp.asarray(depth_rgb_u8, dtype=jnp.float32))
+    return jnp.round(gray) / 255.0
+
+
+def bgr_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    return img[..., ::-1]

@@ -1,0 +1,254 @@
+"""End-to-end stereo render: video + depth video -> packed 3D video.
+
+The TPU replacement for ``render_sbs_3d`` (render_3d.py:933-1504). Design
+inversion vs the reference (SURVEY.md §7): the host only decodes, batches
+and encodes; a single jitted graph does *everything* per chunk of frames —
+u8->float conversion, crop/resize, the scanned stereo step, per-eye packing
+and the final u8 conversion — so each frame crosses PCIe exactly twice
+(u8 in, u8 out) instead of 4-6 float round-trips.
+
+Decode / compute / encode run on three overlapping stages (the native y4m
+reader prefetches on a C++ thread; the encoder write happens while the next
+chunk computes because device dispatch is async).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import blackdetect
+from ..io.depth_io import open_depth_reader
+from ..io.video import open_video, open_writer
+from ..ops import formats as fmt_ops
+from ..ops.convert import float_to_u8_round, float_to_u8_trunc, u8_to_float
+from ..ops.resize import resize_bilinear
+from ..state import init_trackers
+from ..stereo import StereoParams
+from ..stereo.step import render_chunk
+from .geometry import RenderGeometry, resolve_geometry
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    output_format: str = "Full-SBS"
+    output_height: int = 1080
+    aspect: str = "Default (16:9)"
+    preserve_original_aspect: bool = False
+    codec: str = "libx264"
+    crf: int = 23
+    fps: float | None = None  # None: inherit input fps
+    start_s: float | None = None
+    end_s: float | None = None
+    chunk_size: int = 16
+    skip_blank_frames: bool = False
+    auto_crop_black_bars: bool = False
+    anaglyph_bgr_convention: bool = False
+
+
+def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
+    """Row-mean scan from top/bottom (render_3d.py:293-316 parity), on the
+    first frame only; the crop is static for the whole render."""
+    gray = (
+        0.299 * frame_u8[..., 0]
+        + 0.587 * frame_u8[..., 1]
+        + 0.114 * frame_u8[..., 2]
+    )
+    h = gray.shape[0]
+    top = 0
+    for i in range(h):
+        if gray[i].mean() > threshold:
+            top = i
+            break
+    bottom = 0
+    for i in range(h - 1, -1, -1):
+        if gray[i].mean() > threshold:
+            bottom = h - i - 1
+            break
+    if top + bottom >= h:
+        return 0, 0
+    return top, bottom
+
+
+def make_chunk_fn(
+    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig
+) -> Callable:
+    """Build the jitted chunk function: u8 in -> packed u8 out."""
+    params = params.replace(warp_hw=(geom.warp_h, geom.warp_w))
+
+    def chunk_fn(trackers, frames_u8, depths_u16, blanks):
+        frames = u8_to_float(frames_u8)  # [T, H, W, 3]
+        # depth ships as lossless uint16 (8-bit k/255 == k*257/65535 exactly)
+        depths = depths_u16.astype(jnp.float32) / 65535.0  # [T, Hd, Wd]
+        if depths.shape[1:] != frames.shape[1:3]:
+            depths = resize_bilinear(depths, frames.shape[1:3])
+
+        # static center-crop (+ black-bar crop folded in by geometry)
+        frames = frames[
+            :,
+            geom.crop_y : geom.crop_y + geom.crop_h,
+            geom.crop_x : geom.crop_x + geom.crop_w,
+        ]
+        depths = depths[
+            :,
+            geom.crop_y : geom.crop_y + geom.crop_h,
+            geom.crop_x : geom.crop_x + geom.crop_w,
+        ]
+        # per-eye resize (render_3d.py:1262-1263)
+        frames = resize_bilinear(frames, (geom.eye_h, geom.eye_w))
+        depths = resize_bilinear(depths, (geom.eye_h, geom.eye_w))
+
+        trackers, outs = render_chunk(params, trackers, frames, depths, blanks)
+
+        def pack(eyes):
+            left, right = eyes
+            l, r = fmt_ops.pack_per_eye(
+                left, right, cfg.output_format, geom.per_eye_w, geom.per_eye_h
+            )
+            packed = fmt_ops.format_3d_output(
+                l,
+                r,
+                cfg.output_format,
+                anaglyph_bgr_convention=cfg.anaglyph_bgr_convention,
+            )
+            return packed
+
+        packed = jax.vmap(lambda L, R: pack((L, R)))(outs.left, outs.right)
+        to_u8 = float_to_u8_trunc if params.parity_quantize else float_to_u8_round
+        return trackers, to_u8(packed)
+
+    return jax.jit(chunk_fn, donate_argnums=(0,))
+
+
+@dataclasses.dataclass
+class RenderProgress:
+    frames_done: int = 0
+    total_frames: int | None = None
+    fps: float = 0.0
+    started: float = dataclasses.field(default_factory=time.time)
+
+    def eta_seconds(self) -> float | None:
+        if not self.total_frames or self.fps <= 0:
+            return None
+        return (self.total_frames - self.frames_done) / self.fps
+
+
+def render_stereo_video(
+    input_path,
+    depth_path,
+    output_path,
+    params: StereoParams | None = None,
+    cfg: RenderConfig | None = None,
+    progress_cb: Callable[[RenderProgress], None] | None = None,
+    cancel_check: Callable[[], bool] | None = None,
+) -> RenderProgress:
+    """Render a full video. Returns final progress stats.
+
+    ``cancel_check`` is polled between chunks (cooperative cancel, the
+    render_3d.py:1195-1220 suspend/cancel analog — suspension is just the
+    caller not returning from the callback)."""
+    params = params or StereoParams()
+    cfg = cfg or RenderConfig()
+
+    rd = open_video(input_path, cfg.start_s, cfg.end_s)
+    dd = open_depth_reader(depth_path)
+    fps = cfg.fps or rd.fps or 30.0
+
+    first = rd.read()
+    if first is None:
+        raise ValueError("empty input video")
+    top, bottom = (
+        _detect_black_bars_host(first) if cfg.auto_crop_black_bars else (0, 0)
+    )
+    geom = resolve_geometry(
+        rd.width,
+        rd.height,
+        cfg.output_format,
+        cfg.output_height,
+        cfg.aspect,
+        cfg.preserve_original_aspect,
+        top,
+        bottom,
+    )
+
+    blank_set: set[int] = set()
+    if cfg.skip_blank_frames:
+        try:
+            blank_set = set(blackdetect.detect_blank_frames(str(input_path), fps))
+        except Exception:
+            blank_set = set()
+
+    chunk_fn = make_chunk_fn(params, geom, cfg)
+    trackers = init_trackers(geom.eye_h, geom.eye_w)
+
+    wr = open_writer(output_path, geom.out_w, geom.out_h, fps, cfg.codec, cfg.crf)
+    prog = RenderProgress()
+    t_chunk = cfg.chunk_size
+
+    pending = None  # (device_result, n_valid) — lets encode overlap compute
+
+    def flush(pending):
+        if pending is None:
+            return
+        out_u8, n = pending
+        host = np.asarray(out_u8)  # sync point
+        for i in range(n):
+            wr.write(host[i])
+
+    frame_idx = 0
+    frame = first
+    eof = False
+    try:
+        while not eof:
+            if cancel_check and cancel_check():
+                break
+            frames, depths, blanks = [], [], []
+            while len(frames) < t_chunk:
+                if frame is None:
+                    frame = rd.read()
+                if frame is None:
+                    eof = True
+                    break
+                d = dd.read()
+                if d is None:
+                    eof = True
+                    break
+                frames.append(frame)
+                # depth comes in as [H, W] float; chunk_fn wants u8 rgb for
+                # parity with video-decoded depth, so expand back
+                depths.append(d)
+                blanks.append(frame_idx in blank_set)
+                frame_idx += 1
+                frame = None
+            if not frames:
+                break
+            n = len(frames)
+            while len(frames) < t_chunk:  # pad tail chunk to static shape
+                frames.append(frames[-1])
+                depths.append(depths[-1])
+                blanks.append(False)
+            fb = np.stack(frames)
+            db = np.stack(depths)
+            db_u16 = np.clip(db * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
+            bb = np.asarray(blanks)
+
+            trackers, out_u8 = chunk_fn(trackers, fb, db_u16, bb)
+            flush(pending)
+            pending = (out_u8, n)
+
+            prog.frames_done += n
+            elapsed = time.time() - prog.started
+            prog.fps = prog.frames_done / max(elapsed, 1e-6)
+            if progress_cb:
+                progress_cb(prog)
+        flush(pending)
+    finally:
+        rd.close()
+        dd.close()
+        wr.close()
+    return prog
