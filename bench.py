@@ -1,0 +1,97 @@
+"""Benchmark: end-to-end 1080p 2D -> Full-SBS (depth + warp + heal) fps/chip.
+
+The BASELINE.json headline metric. Depth = Depth Anything V2-S at 518x518
+(random-init weights — identical FLOPs to the released checkpoint), stereo =
+the full fused DIBR step (pop shaping, subject lock, warp, feather, heal,
+grade, floating window, sharpen) scanned over the chunk, packed to Full-SBS
+uint8 — ONE jitted graph per chunk, EMA trackers chained across chunks.
+
+Measurement model: sustained per-chip pipeline throughput. Input frames are
+device-resident (a production host streams decode into HBM well above this
+rig's speed) and the packed u8 output is consumed on-device by a checksum
+that every output pixel feeds (so nothing is dead-code-eliminated); one
+scalar crosses back per run. Rationale: this rig reaches the chip through
+the axon loopback tunnel at ~30-50 MB/s — 2-3 orders of magnitude below a
+real TPU host's PCIe — and shipping 143 MB/chunk through it would measure
+the tunnel, not the framework. (For reference, the tunnel-bound figure on
+this rig is ~2.2 fps; the reference app itself does ~3-12 fps on a consumer
+GPU.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = value / 60 fps, the BASELINE.md north-star target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the axon remote-compile of this graph is
+    # slow and highly variable cold (1.5-13 min observed); warm runs load
+    # from here in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vd3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.depth import DA_V2_SMALL, DepthPredictor, init_random
+    from visiondepth3d_tpu.state import init_trackers
+    from visiondepth3d_tpu.stereo import StereoParams
+    from visiondepth3d_tpu.stereo.step import render_chunk
+
+    T = 8  # frames per chunk
+    H, W = 1080, 1920
+    SIZE = 518
+
+    pred = DepthPredictor(
+        DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE), inference_size=SIZE
+    )
+    params = StereoParams(enable_healing=True)
+
+    @jax.jit
+    def pipeline(model_params, trackers, frames_u8):
+        frames = frames_u8.astype(jnp.float32) / 255.0
+        depths = pred.predict_01(frames, out_hw=(H, W))
+        trackers, outs = render_chunk(params, trackers, frames, depths)
+        packed = jnp.concatenate([outs.left, outs.right], axis=2)
+        packed_u8 = (jnp.clip(packed * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
+        # checksum consumes every output pixel -> no DCE; one scalar leaves
+        checksum = jnp.sum(packed_u8.astype(jnp.int32))
+        return trackers, checksum
+
+    trackers = init_trackers(H, W)
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    )
+    frames.block_until_ready()
+
+    # warm-up / compile
+    trackers, checksum = pipeline(pred.params, trackers, frames)
+    _ = int(checksum)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trackers, checksum = pipeline(pred.params, trackers, frames)
+    _ = int(checksum)  # trackers chain serializes all iterations
+    dt = time.perf_counter() - t0
+
+    fps = (T * iters) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "1080p 2D->Full-SBS e2e (DA-V2-S depth + warp + heal) frames/sec/chip",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

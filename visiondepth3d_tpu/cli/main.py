@@ -127,6 +127,78 @@ def cmd_depth(args) -> int:
     return render_depth_video(args)
 
 
+def cmd_tools(args) -> int:
+    from ..enhance import EnhanceConfig, run_merged_pipeline
+
+    cfg = EnhanceConfig(
+        use_esrgan=args.esrgan,
+        esrgan_scale=args.esrgan_scale,
+        pre_downscale=args.pre_downscale,
+        blend_mode=args.blend,
+        use_rife=args.rife,
+        fps_multiplier=args.multiplier,
+        chunk_size=args.chunk_size,
+    )
+    output = args.output or str(args.input).rsplit(".", 1)[0] + "_enhanced.y4m"
+
+    def progress(n, fps):
+        print(f"\r{n} frames | {fps:.2f} fps", end="", flush=True)
+
+    n = run_merged_pipeline(args.input, output, cfg, progress_cb=progress)
+    print(f"\ndone: {n} frames -> {output}")
+    return 0
+
+
+def cmd_audio(args) -> int:
+    from ..io.audio import attach_audio, rip_audio
+
+    def progress(pct):
+        print(f"\r{pct:.1f}%", end="", flush=True)
+
+    if args.audio_cmd == "rip":
+        rip_audio(args.input, args.output, args.codec, args.bitrate, progress)
+    else:
+        attach_audio(args.video, args.audio, args.output, args.offset,
+                     args.reencode, progress)
+    print("\ndone")
+    return 0
+
+
+def cmd_scenes(args) -> int:
+    from ..io.video import open_video
+    from ..utils import detect_scenes, scenes_to_spans
+
+    with open_video(args.input) as rd:
+        fps = rd.fps
+        cuts = detect_scenes(iter(rd), threshold=args.threshold)
+    print(f"{len(cuts)} scenes")
+    for i, c in enumerate(cuts):
+        print(f"scene {i}: frame {c} ({c / fps:.2f}s)")
+    return 0
+
+
+def cmd_preview(args) -> int:
+    import numpy as np
+
+    from ..io.depth_io import open_depth_reader
+    from ..io.video import open_video
+    from ..preview import render_preview, save_preview_set
+
+    with open_video(args.input) as rd:
+        for _ in range(args.frame + 1):
+            frame = rd.read()
+    dd = open_depth_reader(args.depth)
+    for _ in range(args.frame + 1):
+        depth = dd.read()
+    dd.close()
+    out_dir = save_preview_set(
+        frame.astype(np.float32) / 255.0, depth, args.output_dir,
+        mode=args.mode,
+    )
+    print(f"preview saved to {out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vd3d",
                                  description="TPU-native 2D->3D video suite")
@@ -142,11 +214,56 @@ def main(argv=None) -> int:
     dp.add_argument("--invert", action="store_true")
     dp.add_argument("--bits", type=int, default=8, choices=[8, 16])
 
+    tp = sub.add_parser("tools", help="RIFE interpolation + Real-ESRGAN upscale")
+    tp.add_argument("--input", required=True)
+    tp.add_argument("--output", default=None)
+    tp.add_argument("--rife", action="store_true")
+    tp.add_argument("--multiplier", type=int, default=2, choices=[2, 4, 8])
+    tp.add_argument("--esrgan", action="store_true")
+    tp.add_argument("--esrgan-scale", type=int, default=4, choices=[2, 4])
+    tp.add_argument("--pre-downscale", type=float, default=1.0)
+    tp.add_argument("--blend", default="OFF",
+                    choices=["OFF", "LOW", "MEDIUM", "HIGH"])
+    tp.add_argument("--chunk-size", type=int, default=4)
+
+    au = sub.add_parser("audio", help="rip / attach audio tracks (ffmpeg)")
+    asub = au.add_subparsers(dest="audio_cmd", required=True)
+    ar = asub.add_parser("rip")
+    ar.add_argument("--input", required=True)
+    ar.add_argument("--output", required=True)
+    ar.add_argument("--codec", default="copy")
+    ar.add_argument("--bitrate", default=None)
+    aa = asub.add_parser("attach")
+    aa.add_argument("--video", required=True)
+    aa.add_argument("--audio", required=True)
+    aa.add_argument("--output", required=True)
+    aa.add_argument("--offset", type=float, default=0.0)
+    aa.add_argument("--reencode", action="store_true")
+
+    sc = sub.add_parser("scenes", help="content-based scene detection")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--threshold", type=float, default=27.0)
+
+    pv = sub.add_parser("preview", help="single-frame diagnostic render")
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--depth", required=True)
+    pv.add_argument("--frame", type=int, default=0)
+    pv.add_argument("--mode", default="sbs")
+    pv.add_argument("--output-dir", default="./preview")
+
     args = ap.parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "depth":
         return cmd_depth(args)
+    if args.cmd == "tools":
+        return cmd_tools(args)
+    if args.cmd == "audio":
+        return cmd_audio(args)
+    if args.cmd == "scenes":
+        return cmd_scenes(args)
+    if args.cmd == "preview":
+        return cmd_preview(args)
     return 1
 
 

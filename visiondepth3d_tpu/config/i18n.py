@@ -1,0 +1,37 @@
+"""Message catalog / i18n.
+
+The reference ships 5 language JSON packs with a ``t(key)`` lookup
+(VisionDepth3D.py:88-110, languages/{en,fr,de,es,ja}.json). Same mechanism:
+JSON packs under ``visiondepth3d_tpu/config/languages/``, ``set_language``
++ ``t`` with english fallback. The catalog covers the CLI/pipeline-facing
+messages (this framework is headless; GUI tooltip keys arrive with a GUI).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+_LANG_DIR = Path(__file__).resolve().parent / "languages"
+_current: dict = {}
+_fallback: dict = {}
+_lang = "en"
+
+
+def available_languages() -> list[str]:
+    return sorted(p.stem for p in _LANG_DIR.glob("*.json"))
+
+
+def set_language(lang: str) -> None:
+    global _current, _fallback, _lang
+    _fallback = json.loads((_LANG_DIR / "en.json").read_text())
+    path = _LANG_DIR / f"{lang}.json"
+    _current = json.loads(path.read_text()) if path.exists() else {}
+    _lang = lang
+
+
+def t(key: str, **fmt) -> str:
+    if not _fallback:
+        set_language(_lang)
+    msg = _current.get(key, _fallback.get(key, key))
+    return msg.format(**fmt) if fmt else msg

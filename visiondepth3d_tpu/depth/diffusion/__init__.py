@@ -1,0 +1,7 @@
+from .schedulers import DDIMSchedule, EulerSchedule, svd_precondition
+from .vae import VAE_TINY, AutoencoderKL, VAEConfig
+from .unet2d import UNET2D_TINY, UNet2DCondition, UNet2DConfig
+from .unet_st import UNET_ST_TINY, UNetSpatioTemporal, UNetSTConfig
+from .clip_vision import CLIP_TINY, CLIPVisionConfig, CLIPVisionEncoder
+from .marigold import MarigoldPipeline, tiny_marigold
+from .depthcrafter import DepthCrafterPipeline, tiny_depthcrafter

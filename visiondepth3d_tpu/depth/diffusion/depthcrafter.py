@@ -1,0 +1,179 @@
+"""DepthCrafter: temporal video-diffusion depth with sliding windows.
+
+Behavioral port of the reference's SVD-derived pipeline
+(core/depth_crafter_ppl.py:87-366 + core/depthcrafter_adapter.py):
+
+- conditioning: VAE latents of the input frames (channel-concat with the
+  noisy depth latent -> 8ch UNet input) + CLIP image embedding of the first
+  frame as cross-attention context; noise aug 0.02 on the conditioning.
+- Euler-discrete denoising with EDM preconditioning.
+- **sliding-window long-video strategy** (the reference's only long-context
+  mechanism, depth_crafter_ppl.py:245-335): windows of ``window_size``
+  frames with ``overlap``; at each new window the overlap region's latents
+  re-seed from the previous window's finished latents scaled by the sigma
+  ratio, and finished windows stitch with linear cross-fade weights.
+- output: decode depth latents, channel-mean, min-max normalize over the
+  whole video (save_depthcrafter_outputs analog).
+
+Each window's full denoise loop is ONE jitted graph (static window shape,
+so every window after the first hits the compile cache). Distributing
+windows across mesh devices with neighbor overlap exchange = temporal
+context parallelism (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .schedulers import EulerSchedule, svd_precondition
+from .unet_st import UNET_ST_TINY, UNetSpatioTemporal, UNetSTConfig
+from .vae import VAE_TINY, AutoencoderKL, VAEConfig
+from .clip_vision import CLIP_TINY, CLIPVisionConfig, CLIPVisionEncoder
+
+
+@dataclasses.dataclass
+class DepthCrafterPipeline:
+    unet_cfg: UNetSTConfig
+    vae_cfg: VAEConfig
+    clip_cfg: CLIPVisionConfig
+    unet_params: dict
+    vae_params: dict
+    clip_params: dict
+    num_steps: int = 2  # reference "DC-Max Quality" default (render_depth.py:1781)
+    window_size: int = 24
+    overlap: int = 6
+    noise_aug: float = 0.02
+
+    def __post_init__(self):
+        self.unet = UNetSpatioTemporal(self.unet_cfg)
+        self.vae = AutoencoderKL(self.vae_cfg)
+        self.clip = CLIPVisionEncoder(self.clip_cfg)
+        self.schedule = EulerSchedule(num_inference_steps=self.num_steps)
+
+        def denoise_window(unet_params, cond_latent, ctx, init_latent):
+            """cond_latent: [1, Tw, h, w, 4]; ctx: [1, 1, D];
+            init_latent: [1, Tw, h, w, 4] = noise*sigma0 (possibly re-seeded).
+            """
+            latent = init_latent
+            for i in range(self.num_steps):
+                sigma = float(self.schedule.sigmas[i])
+                c_skip, c_out, c_in = svd_precondition(sigma)
+                inp = jnp.concatenate([latent * c_in, cond_latent], axis=-1)
+                t = jnp.asarray(0.25 * np.log(sigma), jnp.float32)  # EDM c_noise
+                f = self.unet.apply({"params": unet_params}, inp, t, ctx)
+                denoised = c_skip * latent + c_out * f
+                latent = self.schedule.step(denoised, i, latent)
+            return latent
+
+        self._denoise_window = jax.jit(denoise_window)
+
+        def encode(vae_params, frames01):
+            return self.vae.apply(
+                {"params": vae_params}, frames01 * 2.0 - 1.0,
+                method=AutoencoderKL.encode_mode,
+            )
+
+        self._encode = jax.jit(encode)
+
+        def decode(vae_params, latents):
+            d = self.vae.apply(
+                {"params": vae_params}, latents, method=AutoencoderKL.decode
+            )
+            return jnp.mean(d, axis=-1)
+
+        self._decode = jax.jit(decode)
+
+    def _windows(self, t: int) -> list[int]:
+        if t <= self.window_size:
+            return [0]
+        stride = self.window_size - self.overlap
+        starts = list(range(0, t - self.window_size, stride))
+        starts.append(t - self.window_size)
+        return starts
+
+    def __call__(self, frames01: np.ndarray, seed: int = 0) -> np.ndarray:
+        """frames01: [T, H, W, 3] in [0, 1] -> [T, H, W] depth in [0, 1]."""
+        frames01 = jnp.asarray(frames01, jnp.float32)
+        t, h, w = frames01.shape[:3]
+        key = jax.random.PRNGKey(seed)
+
+        # conditioning latents for every frame (noise-aug like :169-172)
+        key, k1 = jax.random.split(key)
+        aug = frames01 + self.noise_aug * jax.random.normal(k1, frames01.shape)
+        cond = self._encode(self.vae_params, aug)  # [T, h8, w8, 4]
+
+        # CLIP context from the first frame (resized to the CLIP grid)
+        from ...ops.resize import resize_bilinear
+
+        s = self.clip_cfg.image_size
+        clip_in = resize_bilinear(frames01[:1], (s, s), channel_last=True)
+        emb = self.clip.apply({"params": self.clip_params}, clip_in)  # [1, D]
+        ctx = emb[:, None, :]  # [1, 1, D]
+
+        tw = min(self.window_size, t)
+        sigma0 = float(self.schedule.sigmas[0])
+        lat_shape = (1, tw) + cond.shape[1:3] + (cond.shape[-1],)
+
+        out_latents = jnp.zeros((t,) + cond.shape[1:], jnp.float32)
+        weights = jnp.zeros((t, 1, 1, 1), jnp.float32)
+        prev_final = None
+        prev_start = 0
+
+        for start in self._windows(t):
+            key, kn = jax.random.split(key)
+            noise = jax.random.normal(kn, lat_shape) * sigma0
+            init = noise
+            if prev_final is not None:
+                # re-seed the overlap region from the previous window's
+                # finished latents, scaled back up to sigma0
+                # (depth_crafter_ppl.py:245-266 semantics)
+                ov = prev_start + tw - start
+                ov = max(0, min(ov, tw))
+                if ov > 0:
+                    prev_tail = prev_final[:, -ov:] if start > prev_start else prev_final[:, :ov]
+                    seeded = prev_tail + noise[:, :ov]
+                    init = jnp.concatenate([seeded, noise[:, ov:]], axis=1)
+            cond_win = cond[start : start + tw][None]
+            final = self._denoise_window(self.unet_params, cond_win, ctx, init)
+            prev_final, prev_start = final, start
+
+            # linear cross-fade stitch over the overlap (:323-333)
+            ramp = np.ones(tw, np.float32)
+            if start > 0:
+                ov = min(self.overlap, tw)
+                ramp[:ov] = np.linspace(1.0 / (ov + 1), 1.0, ov, endpoint=False)
+            wgt = jnp.asarray(ramp)[:, None, None, None]
+            out_latents = out_latents.at[start : start + tw].add(final[0] * wgt)
+            weights = weights.at[start : start + tw].add(wgt)
+
+        out_latents = out_latents / jnp.maximum(weights, 1e-8)
+        depth = self._decode(self.vae_params, out_latents)  # [T, H, W]
+        lo, hi = jnp.min(depth), jnp.max(depth)
+        return np.asarray(jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1))
+
+
+def tiny_depthcrafter(seed: int = 0, steps: int = 2, window: int = 6,
+                      overlap: int = 2) -> DepthCrafterPipeline:
+    """Random-weight tiny pipeline for tests."""
+    unet = UNetSpatioTemporal(UNET_ST_TINY)
+    vae = AutoencoderKL(VAE_TINY)
+    clip = CLIPVisionEncoder(CLIP_TINY)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    up = unet.init(
+        k1,
+        jnp.zeros((1, 2, 8, 8, 8), jnp.float32),
+        jnp.asarray(0.0),
+        jnp.zeros((1, 1, UNET_ST_TINY.cross_attention_dim), jnp.float32),
+    )["params"]
+    vp = vae.init(k2, jnp.zeros((1, 16, 16, 3), jnp.float32))["params"]
+    cp = clip.init(k3, jnp.zeros((1, CLIP_TINY.image_size, CLIP_TINY.image_size, 3),
+                                 jnp.float32))["params"]
+    return DepthCrafterPipeline(
+        UNET_ST_TINY, VAE_TINY,
+        dataclasses.replace(CLIP_TINY, projection_dim=UNET_ST_TINY.cross_attention_dim),
+        up, vp, cp, num_steps=steps, window_size=window, overlap=overlap,
+    )

@@ -1,0 +1,157 @@
+"""Merged frame-tools pipeline: upscale + interpolate + encode.
+
+The reference's FrameTools flow (start_merged_pipeline,
+merged_pipeline.py:287-387): frames -> Real-ESRGAN upscale (optional
+pre-downscale, tiling, blend modes) -> RIFE in-betweens -> FFmpeg writer at
+fps x multiplier. Here both models live in ONE jitted graph per chunk, and
+spatial tiling generalizes to the Hann-blended tiler (ops/tiling.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.video import open_video, open_writer
+from ..ops.resize import resize_area, resize_bilinear
+from .esrgan import RRDBNet, blend_images
+from .rife import IFNet
+
+
+@dataclasses.dataclass
+class EnhanceConfig:
+    use_esrgan: bool = True
+    esrgan_scale: int = 4
+    esrgan_nf: int = 64
+    esrgan_nb: int = 23
+    pre_downscale: float = 1.0  # 0.25..1.0 input shrink before upscale
+    keep_original_size: bool = True  # reference resizes back to source size
+    blend_mode: str = "OFF"  # OFF/LOW/MEDIUM/HIGH
+    use_rife: bool = True
+    fps_multiplier: int = 2
+    rife_scales: tuple = (4, 2, 1)
+    codec: str = "libx264"
+    chunk_size: int = 4
+
+
+def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
+                    in_hw: tuple[int, int]):
+    """Build the jitted chunk function: [T, H, W, 3] u8 -> [T', H', W', 3] u8."""
+    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
+    rife = IFNet(scales=cfg.rife_scales)
+    h, w = in_hw
+
+    @jax.jit
+    def fn(frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        if cfg.use_esrgan:
+            if cfg.pre_downscale < 1.0:
+                dh, dw = int(h * cfg.pre_downscale), int(w * cfg.pre_downscale)
+                x_in = resize_area(x, (dh, dw))
+            else:
+                x_in = x
+            up = esrgan.apply({"params": esrgan_params}, x_in)
+            up = jnp.clip(up, 0.0, 1.0)
+            if cfg.keep_original_size:
+                up = resize_area(up, (h, w))
+                base = x
+            else:
+                base = resize_bilinear(x, up.shape[1:3])
+            x = jnp.clip(blend_images(base, up, cfg.blend_mode), 0.0, 1.0)
+
+        if cfg.use_rife and cfg.fps_multiplier > 1:
+            img0, img1 = x[:-1], x[1:]
+            frames_out = [x[:-1]]
+            for k in range(1, cfg.fps_multiplier):
+                mid = rife.apply(
+                    {"params": rife_params}, img0, img1, k / cfg.fps_multiplier
+                )
+                frames_out.append(mid)
+            # interleave: [T-1, mult, H, W, 3] -> [(T-1)*mult, ...] then append
+            # the final original frame
+            stacked = jnp.stack(frames_out, axis=1)
+            t1 = stacked.reshape((-1,) + x.shape[1:])
+            x = jnp.concatenate([t1, x[-1:]], axis=0)
+
+        return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+    return fn
+
+
+def init_enhance_params(cfg: EnhanceConfig, in_hw=(64, 64), seed=0):
+    """Random-init both models (until converted checkpoints are supplied)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
+    ep = esrgan.init(k1, jnp.zeros((1, 16, 16, 3)))["params"] if cfg.use_esrgan else {}
+    rife = IFNet(scales=cfg.rife_scales)
+    rp = (
+        rife.init(k2, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))["params"]
+        if cfg.use_rife
+        else {}
+    )
+    return ep, rp
+
+
+def run_merged_pipeline(
+    input_path,
+    output_path,
+    cfg: EnhanceConfig | None = None,
+    esrgan_params=None,
+    rife_params=None,
+    progress_cb: Callable | None = None,
+) -> int:
+    """Video -> enhanced video. Overlapping chunks keep RIFE pair context:
+    each chunk shares its first frame with the previous chunk's last."""
+    cfg = cfg or EnhanceConfig()
+    rd = open_video(input_path)
+    if esrgan_params is None or rife_params is None:
+        ep, rp = init_enhance_params(cfg)
+        esrgan_params = esrgan_params or ep
+        rife_params = rife_params or rp
+    fn = make_enhance_fn(cfg, esrgan_params, rife_params, (rd.height, rd.width))
+
+    out_fps = rd.fps * (cfg.fps_multiplier if cfg.use_rife else 1)
+    wr = open_writer(output_path, rd.width, rd.height, out_fps, cfg.codec)
+
+    n_out = 0
+    t0 = time.time()
+    carry = None  # last source frame of the previous chunk (pair context)
+    tail = None  # its enhanced version, written at EOF
+    mult = cfg.fps_multiplier if cfg.use_rife else 1
+    try:
+        eof = False
+        while not eof:
+            batch = [] if carry is None else [carry]
+            while len(batch) < cfg.chunk_size + 1:
+                f = rd.read()
+                if f is None:
+                    eof = True
+                    break
+                batch.append(f)
+            if len(batch) < 2:
+                break
+            n_in = len(batch)
+            while len(batch) < cfg.chunk_size + 1:
+                batch.append(batch[-1])
+            out = np.asarray(fn(jnp.asarray(np.stack(batch))))
+            valid = (n_in - 1) * mult  # the duplicated final frame is
+            # re-emitted as the next chunk's first
+            for i in range(valid):
+                wr.write(out[i])
+            n_out += valid
+            carry = batch[n_in - 1]
+            tail = out[valid] if valid < len(out) else out[-1]
+            if progress_cb:
+                progress_cb(n_out, n_out / max(time.time() - t0, 1e-6))
+        if tail is not None:
+            wr.write(tail)
+            n_out += 1
+    finally:
+        rd.close()
+        wr.close()
+    return n_out

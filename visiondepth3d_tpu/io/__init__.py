@@ -10,3 +10,12 @@ from .depth_io import (
 from .ffmpeg import have_ffmpeg, have_ffprobe, is_av1_encoded, validate_codec
 from .video import open_video, open_writer
 from .y4m import Y4MReader, Y4MWriter
+from .letterbox import (
+    LetterboxTracker,
+    crop_by_bars,
+    detect_letterbox_multiframe,
+    detect_letterbox_single,
+    is_near_black_frame,
+    is_scene_cut,
+    reinsert_bars,
+)

@@ -1,0 +1,1 @@
+from .diagnostics import PREVIEW_MODES, render_preview, save_preview_set
