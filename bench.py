@@ -42,7 +42,10 @@ def main():
     from visiondepth3d_tpu.stereo import StereoParams
     from visiondepth3d_tpu.stereo.step import render_chunk
 
-    T = 8  # frames per chunk
+    T = 8  # frames per depth-inference batch / stereo scan chunk
+    K = 32  # chunks per device launch (amortizes the relay's ~2 s
+    #         per-launch dispatch overhead, another tunnel-only artifact);
+    #         fori_loop keeps the compiled graph single-chunk-sized
     H, W = 1080, 1920
     SIZE = 518
 
@@ -51,36 +54,40 @@ def main():
     )
     params = StereoParams(enable_healing=True)
 
+    from jax import lax
+
     @jax.jit
-    def pipeline(model_params, trackers, frames_u8):
-        frames = frames_u8.astype(jnp.float32) / 255.0
-        depths = pred.predict_01(frames, out_hw=(H, W))
-        trackers, outs = render_chunk(params, trackers, frames, depths)
-        packed = jnp.concatenate([outs.left, outs.right], axis=2)
-        packed_u8 = (jnp.clip(packed * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
-        # checksum consumes every output pixel -> no DCE; one scalar leaves
-        checksum = jnp.sum(packed_u8.astype(jnp.int32))
-        return trackers, checksum
+    def pipeline(model_params, trackers, frames_u8):  # [T, H, W, 3] u8
+        def chunk(_, carry):
+            tr, acc = carry
+            frames = frames_u8.astype(jnp.float32) / 255.0
+            depths = pred.predict_01(frames, out_hw=(H, W))
+            tr, outs = render_chunk(params, tr, frames, depths)
+            packed = jnp.concatenate([outs.left, outs.right], axis=2)
+            packed_u8 = (jnp.clip(packed * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
+            # checksum consumes every output pixel -> nothing is DCE'd
+            return tr, acc + jnp.sum(packed_u8.astype(jnp.int32))
+
+        trackers, acc = lax.fori_loop(0, K, chunk, (trackers, jnp.int32(0)))
+        return trackers, acc
 
     trackers = init_trackers(H, W)
     rng = np.random.default_rng(0)
-    frames = jax.device_put(
-        (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
-    )
+    frames = jax.device_put((rng.random((T, H, W, 3)) * 255).astype(np.uint8))
     frames.block_until_ready()
 
     # warm-up / compile
     trackers, checksum = pipeline(pred.params, trackers, frames)
     _ = int(checksum)
 
-    iters = 20
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         trackers, checksum = pipeline(pred.params, trackers, frames)
     _ = int(checksum)  # trackers chain serializes all iterations
     dt = time.perf_counter() - t0
 
-    fps = (T * iters) / dt
+    fps = (K * T * iters) / dt
     print(
         json.dumps(
             {

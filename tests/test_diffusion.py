@@ -116,3 +116,17 @@ def test_depthcrafter_sliding_window(rng):
     assert pipe._windows(10) == [0, 2, 4, 6]
     assert pipe._windows(4) == [0]
     assert pipe._windows(5) == [0, 1]
+
+
+def test_depthcrafter_parallel_windows(rng):
+    import jax
+    from visiondepth3d_tpu.parallel import make_mesh
+
+    pipe = tiny_depthcrafter(steps=2, window=4, overlap=2)
+    frames = rng.random((10, 16, 16, 3), dtype=np.float32)  # 4 windows
+    mesh = make_mesh(dp=4, sp=1, tp=2)
+    with mesh:
+        d_par = pipe.run_parallel(frames, mesh=mesh)
+    assert d_par.shape == (10, 16, 16)
+    assert np.isfinite(d_par).all()
+    assert d_par.min() >= 0.0 and d_par.max() <= 1.0

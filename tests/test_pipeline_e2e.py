@@ -106,3 +106,62 @@ def test_render_anaglyph(tmp_path):
     with Y4MReader(out) as rd:
         assert rd.width == 128 and rd.height == 72
         assert len(list(rd)) == 4
+
+
+def test_depth_video_pipeline_tiny(tmp_path):
+    """2D video -> depth video with the tiny DA model (full depth route)."""
+    from visiondepth3d_tpu.depth import DA_TINY, DepthPredictor, init_random
+    from visiondepth3d_tpu.pipeline import DepthConfig, render_depth_video_file
+
+    clip = tmp_path / "clip.y4m"
+    _write_clip(clip, t=5, h=72, w=128)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=70), inference_size=70)
+    cfg = DepthConfig(batch_size=2, bits=8)
+    out = tmp_path / "depth_out.y4m"
+    n = render_depth_video_file(clip, out, cfg, predictor=pred)
+    assert n == 5
+    with Y4MReader(out) as rd:
+        frames = list(rd)
+    assert len(frames) == 5 and frames[0].shape == (72, 128, 3)
+
+
+def test_depth_video_pipeline_letterbox(tmp_path):
+    from visiondepth3d_tpu.depth import DA_TINY, DepthPredictor, init_random
+    from visiondepth3d_tpu.pipeline import DepthConfig, render_depth_video_file
+
+    clip = tmp_path / "clip_lb.y4m"
+    t, h, w, bar = 10, 96, 128, 16
+    with Y4MWriter(clip, w, h, 24.0) as wr:
+        rng2 = np.random.default_rng(3)
+        for i in range(t):
+            f = rng2.integers(60, 200, (h, w, 3)).astype(np.uint8)
+            f[:bar] = 0
+            f[-bar:] = 0
+            wr.write(f)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=70), inference_size=70)
+    cfg = DepthConfig(batch_size=4, bits=16, track_letterbox=True)
+    out = tmp_path / "depth_lb.vd16"
+    n = render_depth_video_file(clip, out, cfg, predictor=pred)
+    assert n == t
+    # sidecar written with the detected crop
+    import json
+    sidecar = json.loads((tmp_path / "depth_lb.vd16.letterbox.json").read_text())
+    assert sidecar["top"] > 0 and sidecar["bottom"] > 0
+    from visiondepth3d_tpu.io.depth_io import Depth16Reader
+    r = Depth16Reader(out)
+    d0 = r.read()
+    r.close()
+    assert d0.shape == (h, w)  # bars reinserted to full height
+
+
+def test_depth_video_pipeline_diffusion_routes(tmp_path):
+    from visiondepth3d_tpu.pipeline import DepthConfig, render_depth_video_file
+
+    clip = tmp_path / "clip_d.y4m"
+    _write_clip(clip, t=6, h=48, w=64)
+    for model in ("marigold", "depthcrafter"):
+        cfg = DepthConfig(model=model, batch_size=2, bits=8, steps=1,
+                          window_size=4, overlap=2, target_fps=100.0)
+        out = tmp_path / f"depth_{model}.y4m"
+        n = render_depth_video_file(clip, out, cfg)
+        assert n == 6, model

@@ -95,6 +95,71 @@ class DepthCrafterPipeline:
         starts.append(t - self.window_size)
         return starts
 
+    def denoise_windows_parallel(self, cond, ctx, noise_full, starts, mesh=None):
+        """Temporal context parallelism: all windows denoise CONCURRENTLY,
+        sharded over the mesh ``dp`` axis.
+
+        The serial re-seeding chain (reference semantics) is replaced by
+        per-frame noise shared across windows — overlapping frames see the
+        same noise in every window that covers them, which is what keeps the
+        cross-fade coherent. This is the TPU mapping of the reference's only
+        long-context mechanism (SURVEY.md §5): windows across devices
+        instead of a serial Python loop.
+        """
+        import jax
+
+        tw = min(self.window_size, cond.shape[0])
+        cond_w = jnp.stack([cond[s : s + tw] for s in starts])  # [G, Tw, h, w, 4]
+        noise_w = jnp.stack([noise_full[s : s + tw] for s in starts])
+        sigma0 = float(self.schedule.sigmas[0])
+
+        def one(cw, nw):
+            return self._denoise_window(
+                self.unet_params, cw[None], ctx, (nw * sigma0)[None]
+            )[0]
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("dp"))
+            cond_w = jax.lax.with_sharding_constraint(cond_w, sh)
+            noise_w = jax.lax.with_sharding_constraint(noise_w, sh)
+        return jax.vmap(one)(cond_w, noise_w)  # [G, Tw, h, w, 4]
+
+    def run_parallel(self, frames01: np.ndarray, seed: int = 0, mesh=None):
+        """Throughput mode: window-parallel denoising (see above)."""
+        frames01 = jnp.asarray(frames01, jnp.float32)
+        t = frames01.shape[0]
+        key = jax.random.PRNGKey(seed)
+        key, k1, k2 = jax.random.split(key, 3)
+        aug = frames01 + self.noise_aug * jax.random.normal(k1, frames01.shape)
+        cond = self._encode(self.vae_params, aug)
+        from ...ops.resize import resize_bilinear
+
+        s = self.clip_cfg.image_size
+        clip_in = resize_bilinear(frames01[:1], (s, s), channel_last=True)
+        emb = self.clip.apply({"params": self.clip_params}, clip_in)
+        ctx = emb[:, None, :]
+        noise_full = jax.random.normal(k2, cond.shape)
+        starts = self._windows(t)
+        tw = min(self.window_size, t)
+        finals = self.denoise_windows_parallel(cond, ctx, noise_full, starts, mesh)
+
+        out_latents = jnp.zeros_like(cond)
+        weights = jnp.zeros((t, 1, 1, 1), jnp.float32)
+        for g, start in enumerate(starts):
+            ramp = np.ones(tw, np.float32)
+            if start > 0:
+                ov = min(self.overlap, tw)
+                ramp[:ov] = np.linspace(1.0 / (ov + 1), 1.0, ov, endpoint=False)
+            wgt = jnp.asarray(ramp)[:, None, None, None]
+            out_latents = out_latents.at[start : start + tw].add(finals[g] * wgt)
+            weights = weights.at[start : start + tw].add(wgt)
+        out_latents = out_latents / jnp.maximum(weights, 1e-8)
+        depth = self._decode(self.vae_params, out_latents)
+        lo, hi = jnp.min(depth), jnp.max(depth)
+        return np.asarray(jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1))
+
     def __call__(self, frames01: np.ndarray, seed: int = 0) -> np.ndarray:
         """frames01: [T, H, W, 3] in [0, 1] -> [T, H, W] depth in [0, 1]."""
         frames01 = jnp.asarray(frames01, jnp.float32)

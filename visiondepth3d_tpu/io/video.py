@@ -138,10 +138,16 @@ def _rgb_to_yuv420_np(rgb: np.ndarray):
     return y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8)
 
 
-def open_writer(path, width, height, fps, codec="libx264", crf=23):
+def open_writer(path, width, height, fps, codec="libx264", crf=23,
+                append=False):
     p = str(path)
     if p.endswith(".y4m") or not ff.have_ffmpeg():
         if not p.endswith(".y4m"):
             p = str(Path(p).with_suffix(".y4m"))
-        return Y4MWriter(p, width, height, fps)
+        return Y4MWriter(p, width, height, fps, append=append)
+    if append:
+        raise ValueError(
+            "resume/append is only supported for .y4m outputs; encoded "
+            "containers need a segment-concat strategy"
+        )
     return FFmpegEncoder(p, width, height, fps, codec, crf)

@@ -38,6 +38,8 @@ def _load_lib() -> ctypes.CDLL:
     lib.vd3d_y4m_close.argtypes = [ctypes.c_void_p]
     lib.vd3d_y4m_writer_open.restype = ctypes.c_void_p
     lib.vd3d_y4m_writer_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 4
+    lib.vd3d_y4m_writer_open2.restype = ctypes.c_void_p
+    lib.vd3d_y4m_writer_open2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
     lib.vd3d_y4m_write.restype = ctypes.c_int
     lib.vd3d_y4m_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.vd3d_y4m_writer_close.argtypes = [ctypes.c_void_p]
@@ -93,12 +95,13 @@ class Y4MReader:
 class Y4MWriter:
     """Writes uint8 RGB [H, W, 3] frames to a .y4m file (C420jpeg)."""
 
-    def __init__(self, path: str | os.PathLike, width: int, height: int, fps: float):
+    def __init__(self, path: str | os.PathLike, width: int, height: int,
+                 fps: float, append: bool = False):
         lib = _load_lib()
         self._lib = lib
         fps_num, fps_den = _fps_to_ratio(fps)
-        self._h = lib.vd3d_y4m_writer_open(
-            str(path).encode(), width, height, fps_num, fps_den
+        self._h = lib.vd3d_y4m_writer_open2(
+            str(path).encode(), width, height, fps_num, fps_den, int(append)
         )
         if not self._h:
             raise IOError(f"cannot open y4m for writing: {path}")

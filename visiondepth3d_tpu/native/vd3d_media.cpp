@@ -224,9 +224,9 @@ void vd3d_y4m_close(void* handle) {
   delete r;
 }
 
-void* vd3d_y4m_writer_open(const char* path, int w, int h,
-                           int fps_num, int fps_den) {
-  FILE* f = fopen(path, "wb");
+void* vd3d_y4m_writer_open2(const char* path, int w, int h,
+                            int fps_num, int fps_den, int append) {
+  FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return nullptr;
   auto* wr = new Writer();
   wr->f = f;
@@ -236,8 +236,15 @@ void* vd3d_y4m_writer_open(const char* path, int w, int h,
   wr->ybuf.resize((size_t)w * h);
   wr->ubuf.resize((size_t)cw * ch);
   wr->vbuf.resize((size_t)cw * ch);
-  fprintf(f, "YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n", w, h, fps_num, fps_den);
+  if (!append) {
+    fprintf(f, "YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n", w, h, fps_num, fps_den);
+  }
   return wr;
+}
+
+void* vd3d_y4m_writer_open(const char* path, int w, int h,
+                           int fps_num, int fps_den) {
+  return vd3d_y4m_writer_open2(path, w, h, fps_num, fps_den, 0);
 }
 
 int vd3d_y4m_write(void* handle, const uint8_t* rgb) {

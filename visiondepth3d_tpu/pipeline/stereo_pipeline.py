@@ -49,6 +49,8 @@ class RenderConfig:
     skip_blank_frames: bool = False
     auto_crop_black_bars: bool = False
     anaglyph_bgr_convention: bool = False
+    resume: bool = False  # continue an interrupted render from its sidecar
+    checkpoint_every_chunks: int = 8
 
 
 def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
@@ -186,24 +188,55 @@ def render_stereo_video(
     chunk_fn = make_chunk_fn(params, geom, cfg)
     trackers = init_trackers(geom.eye_h, geom.eye_w)
 
-    wr = open_writer(output_path, geom.out_w, geom.out_h, fps, cfg.codec, cfg.crf)
+    # resume: restore trackers + skip already-rendered frames (y4m output
+    # appends; the EMA state makes the continuation bit-identical)
+    skip_n = 0
+    if cfg.resume:
+        from .resume import load_checkpoint, truncate_y4m_to
+
+        state = load_checkpoint(output_path, trackers)
+        if state is not None:
+            skip_n, trackers = state
+            # the file may be ahead of the checkpoint (flush lags compute by
+            # one chunk) — cut it back so the continuation never duplicates
+            truncate_y4m_to(output_path, skip_n)
+
+    wr = open_writer(output_path, geom.out_w, geom.out_h, fps, cfg.codec,
+                     cfg.crf, append=skip_n > 0)
     prog = RenderProgress()
+    prog.frames_done = skip_n
     t_chunk = cfg.chunk_size
 
-    pending = None  # (device_result, n_valid) — lets encode overlap compute
+    pending = None  # (out_u8, n, ckpt_or_None) — encode overlaps compute
+    chunks_since_ckpt = 0
 
     def flush(pending):
         if pending is None:
             return
-        out_u8, n = pending
+        out_u8, n, ckpt = pending
         host = np.asarray(out_u8)  # sync point
         for i in range(n):
             wr.write(host[i])
+        if ckpt is not None:
+            from .resume import save_checkpoint
+
+            save_checkpoint(output_path, ckpt[0], ckpt[1])
 
     frame_idx = 0
     frame = first
     eof = False
     try:
+        # fast-forward both streams past already-rendered frames
+        while frame_idx < skip_n:
+            if frame is None:
+                frame = rd.read()
+            d = dd.read()
+            if frame is None or d is None:
+                eof = True
+                break
+            frame = None
+            frame_idx += 1
+
         while not eof:
             if cancel_check and cancel_check():
                 break
@@ -219,8 +252,6 @@ def render_stereo_video(
                     eof = True
                     break
                 frames.append(frame)
-                # depth comes in as [H, W] float; chunk_fn wants u8 rgb for
-                # parity with video-decoded depth, so expand back
                 depths.append(d)
                 blanks.append(frame_idx in blank_set)
                 frame_idx += 1
@@ -234,19 +265,36 @@ def render_stereo_video(
                 blanks.append(False)
             fb = np.stack(frames)
             db = np.stack(depths)
+            # depth ships as lossless uint16 (8-bit k/255 == k*257/65535)
             db_u16 = np.clip(db * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
             bb = np.asarray(blanks)
 
             trackers, out_u8 = chunk_fn(trackers, fb, db_u16, bb)
             flush(pending)
-            pending = (out_u8, n)
+            chunks_since_ckpt += 1
+            ckpt = None
+            if (
+                cfg.checkpoint_every_chunks > 0
+                and chunks_since_ckpt >= cfg.checkpoint_every_chunks
+            ):
+                # snapshot to host NOW: the next chunk_fn call donates these
+                # tracker buffers
+                import jax
+
+                ckpt = (frame_idx, jax.tree.map(np.asarray, trackers))
+                chunks_since_ckpt = 0
+            pending = (out_u8, n, ckpt)
 
             prog.frames_done += n
             elapsed = time.time() - prog.started
-            prog.fps = prog.frames_done / max(elapsed, 1e-6)
+            prog.fps = (prog.frames_done - skip_n) / max(elapsed, 1e-6)
             if progress_cb:
                 progress_cb(prog)
         flush(pending)
+        if eof:
+            from .resume import clear_checkpoint
+
+            clear_checkpoint(output_path)
     finally:
         rd.close()
         dd.close()
