@@ -52,7 +52,7 @@ def main():
     pred = DepthPredictor(
         DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE), inference_size=SIZE
     )
-    params = StereoParams(enable_healing=True)
+    params = StereoParams(enable_healing=True).with_shift_bound(W)
 
     from jax import lax
 

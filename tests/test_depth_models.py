@@ -86,3 +86,33 @@ def test_predictor_contract():
     d01 = np.asarray(pred.predict_01(frames, out_hw=(48, 64)))
     assert d01.shape == (2, 48, 64)
     assert d01.min() >= 0.0 and d01.max() <= 1.0
+
+
+def test_vda_windowed_inference():
+    import jax
+
+    from visiondepth3d_tpu.depth.vda import VDA_TINY, VDAPredictor, VideoDepthAnything
+
+    model = VideoDepthAnything(VDA_TINY)
+    rng2 = np.random.default_rng(0)
+    sample = jnp.zeros((1, VDA_TINY.window, 70, 70, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+    pred = VDAPredictor(VDA_TINY, params)
+    frames = rng2.random((9, 70, 70, 3), dtype=np.float32)  # 3 windows
+    depth = pred(frames)
+    assert depth.shape == (9, 70, 70)
+    assert np.isfinite(depth).all()
+
+
+def test_vda_short_clip_pads():
+    import jax
+
+    from visiondepth3d_tpu.depth.vda import VDA_TINY, VDAPredictor, VideoDepthAnything
+
+    model = VideoDepthAnything(VDA_TINY)
+    sample = jnp.zeros((1, VDA_TINY.window, 70, 70, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+    pred = VDAPredictor(VDA_TINY, params)
+    frames = np.random.default_rng(1).random((2, 70, 70, 3)).astype(np.float32)
+    depth = pred(frames)
+    assert depth.shape == (2, 70, 70)

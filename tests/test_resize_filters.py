@@ -87,3 +87,21 @@ def test_sharpen_reference_formula(rgb_frame):
     ref = np.clip(np.moveaxis(ref[0].numpy(), 0, -1), 0, 1)
     ours = np.asarray(filters.sharpen(jnp.asarray(rgb_frame), f))
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=0)
+
+
+def test_bilinear_gather_path_matches_torch(rng):
+    # sizes above the matrix limit take the runtime-gather path
+    img = rng.random((64, 518, 3), dtype=np.float32)
+    for ac in (False, True):
+        ours = np.asarray(
+            resize.resize_bilinear(jnp.asarray(img), (64, 1920), ac)
+        )
+        ref = _torch_bilinear(img, (64, 1920), ac)
+        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=0)
+
+
+def test_area_gather_integer_pooling(rng):
+    img = rng.random((16, 1920, 3), dtype=np.float32)
+    ours = np.asarray(resize.resize_area(jnp.asarray(img), (8, 960)))
+    ref = img.reshape(8, 2, 960, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=0)

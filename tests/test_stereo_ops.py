@@ -275,3 +275,25 @@ def test_motion_metric(depth_ramp):
     ours = float(motion_metric(_j(depth_ramp), _j(nxt)))
     ref = min(1.0, float(np.mean(np.abs(nxt - depth_ramp))) * 4.0)
     assert abs(ours - ref) < 1e-5
+
+
+def test_shifted_acc_warp_matches_gather(rgb_frame, depth_ramp):
+    shift = (0.05 * (depth_ramp - 0.5)).astype(np.float32)
+    l1, r1, dl1, dr1 = stereo_warp(_j(rgb_frame), _j(depth_ramp), _j(shift))
+    # 0.05 grid units * (W-1)/2 = ~4 px max; bound of 8 is safely above
+    l2, r2, dl2, dr2 = stereo_warp(
+        _j(rgb_frame), _j(depth_ramp), _j(shift), max_shift_px=8
+    )
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dl2), np.asarray(dl1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dr2), np.asarray(dr1), atol=2e-6)
+
+
+def test_shifted_acc_warp_border_clamp(rgb_frame):
+    shift = np.full(rgb_frame.shape[:2], 0.08, np.float32)  # ~6.4 px right
+    ref = np.asarray(disparity_warp(_j(rgb_frame), _j(shift)))
+    l2, _, _, _ = stereo_warp(
+        _j(rgb_frame), _j(rgb_frame[..., 0]), _j(shift), max_shift_px=10
+    )
+    np.testing.assert_allclose(np.asarray(l2), ref, atol=2e-6)

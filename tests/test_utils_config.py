@@ -1,0 +1,145 @@
+"""Utilities + config subsystems: FPS meter, memory sizing, i18n, settings,
+presets, audio command construction, CLI dry run, preview renders."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_fps_meter():
+    from visiondepth3d_tpu.utils import FpsMeter
+
+    m = FpsMeter(total=100)
+    for _ in range(5):
+        m.tick(10)
+    assert m.done == 50
+    s = m.status()
+    assert "50.00%" in s and "FPS" in s and "ETA" in s
+
+
+def test_render_control():
+    from visiondepth3d_tpu.utils import RenderControl
+
+    rc = RenderControl()
+    assert not rc.cancelled
+    rc.cancel()
+    assert rc.checkpoint() is True
+
+
+def test_dynamic_batch_size():
+    from visiondepth3d_tpu.utils.memory import dynamic_batch_size
+
+    n = dynamic_batch_size((1080, 1920), 518)
+    assert 1 <= n <= 32
+    # tiny frames allow bigger batches than 4K frames
+    assert dynamic_batch_size((360, 640), 256) >= dynamic_batch_size(
+        (2160, 3840), 1024
+    )
+
+
+def test_i18n_lookup_and_fallback():
+    from visiondepth3d_tpu.config.i18n import available_languages, set_language, t
+
+    assert set(available_languages()) >= {"en", "fr", "de", "es", "ja"}
+    set_language("en")
+    assert "3D" in t("render.start")
+    msg = t("render.done", frames=10, fps=2.5, output="x.y4m")
+    assert "10" in msg and "x.y4m" in msg
+    set_language("fr")
+    assert "video 3D" in t("render.start")
+    # missing key in fr falls back to en
+    assert t("error.no_ffmpeg") != "error.no_ffmpeg"
+    set_language("en")
+
+
+def test_settings_roundtrip(tmp_path):
+    from visiondepth3d_tpu.config.settings import load_settings, save_settings
+    from visiondepth3d_tpu.pipeline import RenderConfig
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    p = StereoParams(fg_shift=11.0)
+    cfg = RenderConfig(output_format="Half-SBS")
+    path = tmp_path / "settings.json"
+    save_settings(p, cfg, {"language": "fr"}, path)
+    p2, cfg2, extras = load_settings(path)
+    assert abs(float(p2.fg_shift) - 11.0) < 1e-6
+    assert cfg2.output_format == "Half-SBS"
+    assert extras["language"] == "fr"
+
+
+def test_preset_clamping(tmp_path):
+    from visiondepth3d_tpu.config import load_preset, save_preset
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    path = tmp_path / "p.json"
+    path.write_text(json.dumps({"fg_shift": 9999.0, "parallax_balance": -5.0}))
+    p, _ = load_preset(path)
+    assert float(p.fg_shift) <= 30.0
+    assert float(p.parallax_balance) >= 0.1
+    save_preset(tmp_path / "out.json", StereoParams())
+    assert (tmp_path / "out.json").exists()
+
+
+def test_audio_command_construction():
+    from visiondepth3d_tpu.io import ffmpeg as ff
+
+    cmd = ff.rip_audio_cmd("in.mkv", "out.aac", "aac", "192k")
+    assert "-acodec" in cmd and "aac" in cmd and "192k" in cmd
+    cmd = ff.attach_audio_cmd("v.mp4", "a.aac", "o.mp4", offset_s=1.5)
+    assert "-itsoffset" in cmd and "-shortest" in cmd
+    assert ff.validate_codec("garbage") == "libx264"
+    assert ff.validate_codec(None) == "libx264"
+    assert ff.validate_codec("libx265") == "libx265"
+
+
+def test_cli_dry_run(capsys):
+    from visiondepth3d_tpu.cli.main import main
+
+    rc = main([
+        "render", "--input", "a.y4m", "--depth", "d.y4m", "--dry-run",
+        "--fg_shift", "12.5", "--format", "Half-SBS",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    data = json.loads(out)
+    assert data["params"]["fg_shift"] == 12.5
+    assert data["output"].endswith("Half-SBS.y4m")
+
+
+def test_preview_modes(rgb_frame, depth_ramp):
+    from visiondepth3d_tpu.preview import PREVIEW_MODES, render_preview
+
+    for mode in PREVIEW_MODES:
+        out = render_preview(rgb_frame, depth_ramp, mode=mode)
+        assert out.dtype == np.uint8
+        assert out.ndim == 3 and out.shape[-1] == 3
+
+
+def test_preview_save_set(tmp_path, rgb_frame, depth_ramp):
+    from visiondepth3d_tpu.preview import save_preview_set
+
+    out = save_preview_set(rgb_frame, depth_ramp, tmp_path / "pv", mode="anaglyph")
+    assert (out / "preview_anaglyph.png").exists()
+    assert (out / "preview_input.png").exists()
+    assert (out / "preview_depth.png").exists()
+
+
+def test_tiling_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.ops.tiling import tiled_apply
+
+    img = jnp.asarray(rng.random((70, 100, 3), dtype=np.float32))
+    out = tiled_apply(lambda t: t, img, (32, 48), overlap=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_scene_spans_as_dp_segments():
+    from visiondepth3d_tpu.parallel import segment_bounds
+    from visiondepth3d_tpu.utils import scenes_to_spans
+
+    spans = scenes_to_spans([0, 30, 60], 90)
+    assert spans == [(0, 30), (30, 60), (60, 90)]
+    bounds = segment_bounds(90, 3, scene_cuts=[30, 60])
+    assert bounds == [(0, 30), (30, 60), (60, 90)]

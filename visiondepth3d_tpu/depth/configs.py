@@ -63,6 +63,15 @@ DA_V2_LARGE = DPTConfig(
     fusion_hidden_size=256,
 )
 
+# metric variants: sigmoid head scaled by the dataset max depth
+# (modeling_depth_anything.py depth_estimation_type="metric")
+DA_V2_METRIC_INDOOR = dataclasses.replace(
+    DA_V2_LARGE, depth_estimation_type="metric", max_depth=20.0
+)
+DA_V2_METRIC_OUTDOOR = dataclasses.replace(
+    DA_V2_LARGE, depth_estimation_type="metric", max_depth=80.0
+)
+
 # Tiny config for offline parity tests against transformers-torch
 DA_TINY = DPTConfig(
     backbone=ViTConfig(hidden_size=32, num_layers=4, num_heads=2, patch_size=14,

@@ -31,15 +31,22 @@ def snap(value: int, multiple: int) -> int:
 
 @dataclasses.dataclass
 class DepthPredictor:
-    """A loaded depth model: params + jitted forward at a fixed size."""
+    """A loaded depth model: params + jitted forward at a fixed size.
+
+    Works for any Flax module mapping normalized [B, S, S, 3] -> [B, h, w]
+    (DepthAnything, DPTClassic, ...); pass ``model`` to override the default
+    DepthAnything built from ``cfg``.
+    """
 
     cfg: DPTConfig
     params: dict
     inference_size: int = 518
     dtype: str = "float32"
+    model: object = None
 
     def __post_init__(self):
-        self.model = DepthAnything(self.cfg)
+        if self.model is None:
+            self.model = DepthAnything(self.cfg)
         patch = self.cfg.backbone.patch_size
         self._size = snap(self.inference_size, patch)
 

@@ -81,20 +81,37 @@ _add(ModelEntry(
     ("Distill Any Depth Large",),
 ))
 _add(ModelEntry(
+    "depth-anything-v2-metric-indoor", "dpt_dinov2",
+    configs.DA_V2_METRIC_INDOOR,
+    "depth-anything/Depth-Anything-V2-Metric-Indoor-Large-hf",
+    ("V2-Metric-Indoor-Large",),
+))
+_add(ModelEntry(
+    "depth-anything-v2-metric-outdoor", "dpt_dinov2",
+    configs.DA_V2_METRIC_OUTDOOR,
+    "depth-anything/Depth-Anything-V2-Metric-Outdoor-Large-hf",
+    ("V2-Metric-Outdoor-Large",),
+))
+_add(ModelEntry(
     "marigold", "diffusion", None, "prs-eth/marigold-depth-v1-0",
-    ("Marigold Depth (Diffusion)",),
+    ("Marigold Depth (Diffusion)", "marigold-depth-v1-0"),
 ))
 _add(ModelEntry(
     "depthcrafter", "diffusion", None, "tencent/DepthCrafter",
     ("DepthCrafter (Video Diffusion)",),
 ))
 # classic DPT family (Flax port planned; listed for catalog completeness)
+from .dpt_classic import DPT_LARGE
+
+_add(ModelEntry("dpt-large", "dpt_classic", DPT_LARGE, "Intel/dpt-large",
+                ("DPT-Large", "MiDaS 3.0")))
 for name, hf in [
-    ("dpt-large", "Intel/dpt-large"),
     ("dpt-beit-large-512", "Intel/dpt-beit-large-512"),
     ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
     ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),
     ("depth-pro", "apple/DepthPro-hf"),
+    ("midas-v2", "qualcomm/Midas-V2"),
+    ("video-depth-anything", "depth-anything/Video-Depth-Anything-Small"),
 ]:
     _add(ModelEntry(name, "dpt_vit", None, hf, (name,)))
 
@@ -110,15 +127,35 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     from .model import DepthPredictor, init_random
 
     entry = CATALOG[name]
-    if entry.family != "dpt_dinov2":
-        raise NotImplementedError(
-            f"{name}: family {entry.family} loads via its own module"
-        )
     cfg = entry.config
-    if checkpoint is None:
-        params = init_random(cfg, seed, size=inference_size)
-    elif isinstance(checkpoint, dict):
-        params = checkpoint
-    else:
-        params = convert_depth_anything(load_safetensors_state(checkpoint), cfg)
-    return DepthPredictor(cfg, params, inference_size)
+    if entry.family == "dpt_dinov2":
+        if checkpoint is None:
+            params = init_random(cfg, seed, size=inference_size)
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_depth_anything(
+                load_safetensors_state(checkpoint), cfg
+            )
+        return DepthPredictor(cfg, params, inference_size)
+    if entry.family == "dpt_classic":
+        import jax
+        import jax.numpy as jnp
+
+        from .convert_dpt import convert_dpt_classic
+        from .dpt_classic import DPTClassic
+
+        model = DPTClassic(cfg)
+        if checkpoint is None:
+            s = inference_size - inference_size % cfg.backbone.patch_size
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_dpt_classic(load_safetensors_state(checkpoint), cfg)
+        return DepthPredictor(cfg, params, inference_size, model=model)
+    raise NotImplementedError(
+        f"{name}: family {entry.family} loads via its own module"
+    )

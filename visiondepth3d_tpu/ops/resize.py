@@ -154,6 +154,37 @@ def _spatial_shape(img: jnp.ndarray, hwc: bool) -> tuple[int, int]:
     return (img.shape[-3], img.shape[-2]) if hwc else (img.shape[-2], img.shape[-1])
 
 
+# Above this many weight-matrix elements, resizes switch from the static
+# matrix formulation (MXU matmul; embeds an (out, in) constant in the graph)
+# to a runtime 2-tap gather. Multi-MB HLO constants make the TPU compiler
+# pathologically slow, and at 2 taps/output the matrix is 99% zeros anyway.
+_MATRIX_LIMIT = 1 << 18
+
+
+def _gather_axis_linear(img: jnp.ndarray, out_size: int, axis: int,
+                        align_corners: bool) -> jnp.ndarray:
+    """Bilinear resample along one axis with runtime indices (torch parity)."""
+    in_size = img.shape[axis]
+    if in_size == 1:
+        reps = [1] * img.ndim
+        reps[axis] = out_size
+        return jnp.tile(img, reps)
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        src = dst * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        src = jnp.clip((dst + 0.5) * (in_size / out_size) - 0.5, 0.0, in_size - 1)
+    x0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    x1 = jnp.clip(x0 + 1, 0, in_size - 1)
+    w = (src - x0.astype(jnp.float32)).astype(img.dtype)
+    shape = [1] * img.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    g0 = jnp.take(img, x0, axis=axis)
+    g1 = jnp.take(img, x1, axis=axis)
+    return g0 * (1.0 - w) + g1 * w
+
+
 def resize_bilinear(
     img: jnp.ndarray,
     out_hw: tuple[int, int],
@@ -170,6 +201,10 @@ def resize_bilinear(
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return img
+    if h * oh > _MATRIX_LIMIT or w * ow > _MATRIX_LIMIT:
+        h_axis = img.ndim - 3 if hwc else img.ndim - 2
+        out = _gather_axis_linear(img, oh, h_axis, align_corners)
+        return _gather_axis_linear(out, ow, h_axis + 1, align_corners)
     return _apply_separable(
         img,
         _linear_matrix(h, oh, align_corners),
@@ -187,6 +222,21 @@ def resize_area(
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return img
+    if h * oh > _MATRIX_LIMIT or w * ow > _MATRIX_LIMIT:
+        # large sizes: exact integer-factor box pooling (the common case —
+        # Half-SBS packs at exactly 2:1), runtime-gather bilinear otherwise
+        if h % oh == 0 and w % ow == 0:
+            fh, fw = h // oh, w // ow
+            h_axis = img.ndim - 3 if hwc else img.ndim - 2
+            shape = (
+                img.shape[:h_axis]
+                + (oh, fh, ow, fw)
+                + img.shape[h_axis + 2 :]
+            )
+            return img.reshape(shape).mean(axis=(h_axis + 1, h_axis + 3))
+        h_axis = img.ndim - 3 if hwc else img.ndim - 2
+        out = _gather_axis_linear(img, oh, h_axis, False)
+        return _gather_axis_linear(out, ow, h_axis + 1, False)
     return _apply_separable(img, _area_matrix(h, oh), _area_matrix(w, ow), hwc)
 
 

@@ -55,19 +55,63 @@ def disparity_warp(img: jnp.ndarray, shift_norm: jnp.ndarray) -> jnp.ndarray:
     return _sample_row_bilinear(img, src_x)
 
 
+def _sample_row_shifted_acc(
+    imgs: list[jnp.ndarray], src_x: jnp.ndarray, max_shift_px: int
+) -> list[jnp.ndarray]:
+    """Bounded-disparity bilinear row sampling as shifted accumulation.
+
+    TPU gathers along the lane axis are slow (~33 ms/frame measured at
+    1080p); with |src_x - x| <= K the warp is a 2-banded sparse matrix, so
+    out[x] = sum_k w_k(x) * img[x + k] over k in [-K, K+1] — 2K + 2 fused
+    shift+FMA passes on the VPU, no gather. All imgs share the weights.
+    """
+    w = src_x.shape[1]
+    k0 = max_shift_px
+    x_idx = jnp.arange(w, dtype=src_x.dtype)[None, :]
+    src_x = jnp.clip(src_x, 0.0, w - 1.0)
+    # pad the sources once; each tap is then a STATIC slice (pure fused
+    # multiply-adds — no dynamic_update_slice copies, no gathers)
+    padded = []
+    for im in imgs:
+        pad_spec = [(0, 0), (k0, k0 + 1)] + [(0, 0)] * (im.ndim - 2)
+        padded.append(jnp.pad(im, pad_spec))
+    outs = [jnp.zeros(im.shape, im.dtype) for im in imgs]
+    for k in range(-k0, k0 + 2):
+        # weight of the tap at source column x + k: bilinear hat around
+        # src_x (the border clamp above folds edge replication in)
+        wk = jnp.clip(1.0 - jnp.abs(src_x - (x_idx + k)), 0.0, 1.0)
+        for i, im in enumerate(padded):
+            sl = im[:, k0 + k : k0 + k + w]
+            outs[i] = outs[i] + sl * (wk[..., None] if im.ndim == 3 else wk)
+    return outs
+
+
 def stereo_warp(
-    frame: jnp.ndarray, shaped_depth: jnp.ndarray, shift_norm: jnp.ndarray
+    frame: jnp.ndarray,
+    shaped_depth: jnp.ndarray,
+    shift_norm: jnp.ndarray,
+    max_shift_px: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warp frame and shaped depth for both eyes in one call.
 
     Returns (left, right, depth_left, depth_right) — the four grid_sample
-    calls of render_3d.py:697-701 expressed as two fused dual-gathers.
+    calls of render_3d.py:697-701. With ``max_shift_px`` (a static bound on
+    the disparity in pixels) the TPU-fast shifted-accumulation path is used;
+    otherwise the general gather.
     """
     h, w = frame.shape[0], frame.shape[1]
     x_idx = jnp.arange(w, dtype=shift_norm.dtype)[None, :]
     delta = shift_norm * (w - 1) / 2.0
     src_left = x_idx + delta
     src_right = x_idx - delta
+    if max_shift_px is not None:
+        left, depth_left = _sample_row_shifted_acc(
+            [frame, shaped_depth], src_left, max_shift_px
+        )
+        right, depth_right = _sample_row_shifted_acc(
+            [frame, shaped_depth], src_right, max_shift_px
+        )
+        return left, right, depth_left, depth_right
     left = _sample_row_bilinear(frame, src_left)
     right = _sample_row_bilinear(frame, src_right)
     depth_left = _sample_row_bilinear(shaped_depth, src_left)

@@ -82,6 +82,10 @@ def make_chunk_fn(
 ) -> Callable:
     """Build the jitted chunk function: u8 in -> packed u8 out."""
     params = params.replace(warp_hw=(geom.warp_h, geom.warp_w))
+    try:
+        params = params.with_shift_bound(geom.warp_w)
+    except TypeError:
+        pass  # traced percent (unusual): fall back to the gather warp
 
     def chunk_fn(trackers, frames_u8, depths_u16, blanks):
         frames = u8_to_float(frames_u8)  # [T, H, W, 3]

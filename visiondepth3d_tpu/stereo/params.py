@@ -55,6 +55,10 @@ class StereoParams:
     # pixel_shift-internal resize target (render_3d.py:595-596 gets
     # resized_w/h from the loop). None keeps the input resolution.
     warp_hw: tuple | None = struct.field(pytree_node=False, default=None)
+    # static bound (pixels) on the disparity magnitude; enables the TPU
+    # shifted-accumulation warp (ops/warp.py) instead of a slow gather.
+    # Set via with_shift_bound() from the concrete max_pixel_shift_percent.
+    max_shift_px_bound: int | None = struct.field(pytree_node=False, default=None)
     blur_ksize: int = struct.field(pytree_node=False, default=9)
     dof_strength: float = struct.field(pytree_node=False, default=0.0)
     use_subject_tracking: bool = struct.field(pytree_node=False, default=True)
@@ -72,6 +76,19 @@ class StereoParams:
 
     def replace(self, **kwargs) -> "StereoParams":  # type: ignore[override]
         return dataclasses.replace(self, **kwargs)
+
+    def with_shift_bound(self, width: int) -> "StereoParams":
+        """Derive the static warp bound from the (concrete) shift clamp.
+
+        Post-clamp disparity in grid units is <= 2 * max_pixel_shift_percent
+        (render_3d.py:657-659) plus the small convergence bias subtracted
+        after the clamp; in pixels that is pct * width plus a sub-pixel
+        term. Call this while the params are concrete (pipeline build time).
+        """
+        import math
+
+        pct = float(self.max_pixel_shift_percent)
+        return self.replace(max_shift_px_bound=int(math.ceil(pct * width)) + 2)
 
 
 def pop_controls_locked_to_defaults(p: StereoParams) -> StereoParams:

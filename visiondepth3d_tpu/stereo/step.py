@@ -140,7 +140,9 @@ def pixel_shift(
 
     t, final_shift = compute_shift_map(p, t, shaped, subject_depth, p.fg_shift,
                                        p.mg_shift, p.bg_shift)
-    left, right, dleft, dright = warp.stereo_warp(frame, shaped, final_shift)
+    left, right, dleft, dright = warp.stereo_warp(
+        frame, shaped, final_shift, p.max_shift_px_bound
+    )
 
     if p.enable_feathering:
         left = edges.feather_shift_edges(
