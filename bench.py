@@ -49,8 +49,11 @@ def main():
     H, W = 1080, 1920
     SIZE = 518
 
+    # bf16 inference for the ViT (standard practice; the stereo stage and
+    # depth normalization stay f32)
     pred = DepthPredictor(
-        DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE), inference_size=SIZE
+        DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE),
+        inference_size=SIZE, dtype="bfloat16",
     )
     params = StereoParams(enable_healing=True).with_shift_bound(W)
 

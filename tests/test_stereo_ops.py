@@ -297,3 +297,23 @@ def test_shifted_acc_warp_border_clamp(rgb_frame):
         _j(rgb_frame), _j(rgb_frame[..., 0]), _j(shift), max_shift_px=10
     )
     np.testing.assert_allclose(np.asarray(l2), ref, atol=2e-6)
+
+
+def test_pallas_warp_matches_reference(rgb_frame, depth_ramp):
+    """Fused Pallas dual-eye warp (interpret mode on CPU) vs the gather warp."""
+    import jax
+
+    from visiondepth3d_tpu.ops import pallas_warp as pw
+
+    shift = (0.05 * (depth_ramp - 0.5)).astype(np.float32)
+    ref = stereo_warp(_j(rgb_frame), _j(depth_ramp), _j(shift))
+    with jax.disable_jit(False):
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = pw.stereo_warp_pallas(
+                _j(rgb_frame), _j(depth_ramp), _j(shift), max_shift_px=8,
+                block_rows=32,
+            )
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -105,8 +105,11 @@ from .dpt_classic import DPT_LARGE
 
 _add(ModelEntry("dpt-large", "dpt_classic", DPT_LARGE, "Intel/dpt-large",
                 ("DPT-Large", "MiDaS 3.0")))
+from .dpt_beit import DPT_BEIT_LARGE_512
+
+_add(ModelEntry("dpt-beit-large-512", "dpt_beit", DPT_BEIT_LARGE_512,
+                "Intel/dpt-beit-large-512", ("dpt-beit-large-512",)))
 for name, hf in [
-    ("dpt-beit-large-512", "Intel/dpt-beit-large-512"),
     ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
     ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),
     ("depth-pro", "apple/DepthPro-hf"),
@@ -138,6 +141,23 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
                 load_safetensors_state(checkpoint), cfg
             )
         return DepthPredictor(cfg, params, inference_size)
+    if entry.family == "dpt_beit":
+        import jax
+        import jax.numpy as jnp
+
+        from .dpt_beit import DPTBEiT, convert_dpt_beit
+
+        model = DPTBEiT(cfg)
+        if checkpoint is None:
+            s2 = inference_size - inference_size % cfg.backbone.patch_size
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s2, s2, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_dpt_beit(load_safetensors_state(checkpoint), cfg)
+        return DepthPredictor(cfg, params, inference_size, model=model)
     if entry.family == "dpt_classic":
         import jax
         import jax.numpy as jnp

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused dual-eye bounded-disparity warp.
+
+The hot DIBR resample (ops/warp.py). The XLA shifted-accumulation already
+avoids gathers, but it re-reads the padded source from HBM for every tap
+(2K+2 ~ 84 taps at the default 2% bound). This kernel keeps a row-block of
+the source in VMEM and runs all taps for BOTH eyes on the VPU with
+``pltpu.roll`` — one HBM read and one write per tensor.
+
+Layout: channel-planar [C, H, W] blocks so the W (tap) axis is the lane
+axis. Wrapped lanes from the circular roll are harmless: every tap outside
+the clamped hat support has weight exactly 0 (see ops/warp.py border note).
+
+Grid: row blocks of BH rows; in/out block shapes [C, BH, W] ([BH, W] for
+depth/shift). VMEM at W=1920, BH=16: (3+3+1+1+1+1+1+1) planes * 16*1920*4B
+~ 1.5 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
+                 left_ref, right_ref, dleft_ref, dright_ref):
+    w = frame_ref.shape[-1]
+    shift = shift_ref[:]  # [BH, W]
+    # Mosaic's iota is integer-only; cast after
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, shift.shape, 1).astype(jnp.float32)
+    delta = shift * ((w - 1) / 2.0)
+    # NOTE: jnp.clip creates closed_call sub-jaxprs that trip the Pallas
+    # MLIR lowering cache; spell out max/min instead
+    src_l = jnp.minimum(jnp.maximum(x_idx + delta, 0.0), w - 1.0)
+    src_r = jnp.minimum(jnp.maximum(x_idx - delta, 0.0), w - 1.0)
+
+    frame = frame_ref[:]  # [C, BH, W]
+    depth = depth_ref[:]  # [BH, W]
+
+    acc_l = jnp.zeros_like(frame)
+    acc_r = jnp.zeros_like(frame)
+    acc_dl = jnp.zeros_like(depth)
+    acc_dr = jnp.zeros_like(depth)
+
+    for k in range(-k0, k0 + 2):
+        tap = x_idx + k
+        wl = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_l - tap), 0.0), 1.0)
+        wr = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_r - tap), 0.0), 1.0)
+        # value at source column x + k == roll by -k along lanes
+        f_k = pltpu.roll(frame, -k % w, axis=2)
+        d_k = pltpu.roll(depth, -k % w, axis=1)
+        acc_l = acc_l + f_k * wl[None]
+        acc_r = acc_r + f_k * wr[None]
+        acc_dl = acc_dl + d_k * wl
+        acc_dr = acc_dr + d_k * wr
+
+    left_ref[:] = acc_l
+    right_ref[:] = acc_r
+    dleft_ref[:] = acc_dl
+    dright_ref[:] = acc_dr
+
+
+def stereo_warp_pallas(
+    frame: jnp.ndarray,  # [H, W, 3] f32
+    shaped_depth: jnp.ndarray,  # [H, W]
+    shift_norm: jnp.ndarray,  # [H, W]
+    max_shift_px: int,
+    block_rows: int = 16,
+):
+    """Fused dual-eye warp. Returns (left, right, depth_left, depth_right)
+    matching ops.warp.stereo_warp semantics.
+
+    Plain function (not jitted here): nesting an inner jit around a
+    pallas_call inside outer control flow trips a jax-0.9 lowering-cache
+    bug; callers are jitted anyway."""
+    h, w = frame.shape[0], frame.shape[1]
+    fr = jnp.moveaxis(frame, -1, 0)  # [3, H, W]
+    bh = min(block_rows, h)
+    grid = (pl.cdiv(h, bh),)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, h, w), frame.dtype),
+        jax.ShapeDtypeStruct((3, h, w), frame.dtype),
+        jax.ShapeDtypeStruct((h, w), frame.dtype),
+        jax.ShapeDtypeStruct((h, w), frame.dtype),
+    )
+    plane_spec = pl.BlockSpec((3, bh, w), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    left, right, dl, dr = pl.pallas_call(
+        functools.partial(_warp_kernel, max_shift_px),
+        grid=grid,
+        in_specs=[plane_spec, flat_spec, flat_spec],
+        out_specs=(plane_spec, plane_spec, flat_spec, flat_spec),
+        out_shape=out_shapes,
+    )(fr, shaped_depth, shift_norm)
+    return jnp.moveaxis(left, 0, -1), jnp.moveaxis(right, 0, -1), dl, dr

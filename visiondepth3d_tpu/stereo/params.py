@@ -59,6 +59,9 @@ class StereoParams:
     # shifted-accumulation warp (ops/warp.py) instead of a slow gather.
     # Set via with_shift_bound() from the concrete max_pixel_shift_percent.
     max_shift_px_bound: int | None = struct.field(pytree_node=False, default=None)
+    # warp implementation: "auto" (pallas on TPU when bounded, else XLA
+    # shifted-acc, else gather), or force "pallas" / "xla" / "gather"
+    warp_backend: str = struct.field(pytree_node=False, default="auto")
     blur_ksize: int = struct.field(pytree_node=False, default=9)
     dof_strength: float = struct.field(pytree_node=False, default=0.0)
     use_subject_tracking: bool = struct.field(pytree_node=False, default=True)

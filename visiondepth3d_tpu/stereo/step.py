@@ -107,6 +107,33 @@ def compute_shift_map(
     return t, final_shift
 
 
+def _dispatch_warp(p: StereoParams, frame, shaped, final_shift):
+    """Pick the warp implementation (ops/warp.py vs the Pallas kernel).
+
+    "auto": the fused Pallas kernel on TPU when a static disparity bound is
+    known (measured 3.1 ms/frame at 1080p vs 4.0 XLA shifted-acc vs 33
+    gather), XLA shifted-acc with a bound elsewhere, general gather last.
+    """
+    import jax
+
+    backend = p.warp_backend
+    if backend == "auto":
+        if p.max_shift_px_bound is not None and jax.default_backend() == "tpu":
+            backend = "pallas"
+        elif p.max_shift_px_bound is not None:
+            backend = "xla"
+        else:
+            backend = "gather"
+    if backend == "pallas":
+        from ..ops.pallas_warp import stereo_warp_pallas
+
+        return stereo_warp_pallas(frame, shaped, final_shift,
+                                  p.max_shift_px_bound)
+    if backend == "xla":
+        return warp.stereo_warp(frame, shaped, final_shift, p.max_shift_px_bound)
+    return warp.stereo_warp(frame, shaped, final_shift, None)
+
+
 def pixel_shift(
     p: StereoParams,
     t: trk.StereoTrackers,
@@ -140,9 +167,7 @@ def pixel_shift(
 
     t, final_shift = compute_shift_map(p, t, shaped, subject_depth, p.fg_shift,
                                        p.mg_shift, p.bg_shift)
-    left, right, dleft, dright = warp.stereo_warp(
-        frame, shaped, final_shift, p.max_shift_px_bound
-    )
+    left, right, dleft, dright = _dispatch_warp(p, frame, shaped, final_shift)
 
     if p.enable_feathering:
         left = edges.feather_shift_edges(
