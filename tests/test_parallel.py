@@ -106,3 +106,25 @@ def test_ssi_loss_invariance(rng):
     pred_affine = target * 3.7 - 1.2
     loss = float(ssi_loss(pred_affine, target, grad_weight=0.0))
     assert loss < 1e-9  # perfect up to scale/shift -> ~zero loss
+
+
+def test_spatially_sharded_stereo_matches_unsharded(rng):
+    from visiondepth3d_tpu.parallel.dp import render_chunk_spatial
+
+    t, h, w = 2, 64, 96
+    frames = jnp.asarray(rng.random((t, h, w, 3), dtype=np.float32))
+    depths = jnp.asarray(rng.random((t, h, w), dtype=np.float32))
+    p = StereoParams(blur_ksize=3).with_shift_bound(w)
+    tr = init_trackers(h, w)
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    with mesh:
+        _, sharded = jax.jit(
+            lambda a, b, c: render_chunk_spatial(p, a, b, c, mesh)
+        )(tr, frames, depths)
+    _, ref = render_chunk(p.replace(warp_backend="xla"), tr, frames, depths)
+    np.testing.assert_allclose(
+        np.asarray(sharded.left), np.asarray(ref.left), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.right), np.asarray(ref.right), atol=5e-5
+    )

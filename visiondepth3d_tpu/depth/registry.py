@@ -109,6 +109,10 @@ from .dpt_beit import DPT_BEIT_LARGE_512
 
 _add(ModelEntry("dpt-beit-large-512", "dpt_beit", DPT_BEIT_LARGE_512,
                 "Intel/dpt-beit-large-512", ("dpt-beit-large-512",)))
+from .zoedepth import ZoeDepthConfig as _ZoeCfg
+
+_add(ModelEntry("zoedepth-nyu", "zoedepth", _ZoeCfg(),
+                "Intel/zoedepth-nyu", ("ZoeDepth",)))
 for name, hf in [
     ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
     ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),

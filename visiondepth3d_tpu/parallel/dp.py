@@ -63,3 +63,28 @@ def segment_bounds(total_frames: int, g: int,
             if best is not None and abs(best - even[i]) <= tol:
                 even[i] = best
     return [(even[i], even[i + 1]) for i in range(g)]
+
+
+def render_chunk_spatial(
+    params: StereoParams,
+    trackers: StereoTrackers,
+    frames: jnp.ndarray,  # [T, H, W, 3]
+    depths: jnp.ndarray,  # [T, H, W]
+    mesh: Mesh,
+):
+    """Spatially-sharded stereo chunk: frame rows split over the ``sp`` axis.
+
+    For 4K+ frames that don't fit (or don't saturate) one chip. Pure GSPMD:
+    the inputs carry a P(None, "sp") sharding constraint and XLA partitions
+    the whole scanned step — halo exchanges for the blur/gradient stencils
+    and psums for the depth statistics are inserted automatically, riding
+    ICI. The warp stays row-local (zero communication) because the
+    shifted-accumulation only mixes columns. Use warp_backend="xla" here
+    (the Pallas kernel doesn't partition).
+    """
+    sh = NamedSharding(mesh, P(None, "sp"))
+    frames = jax.lax.with_sharding_constraint(frames, NamedSharding(mesh, P(None, "sp", None, None)))
+    depths = jax.lax.with_sharding_constraint(depths, sh)
+    if params.warp_backend == "auto":
+        params = params.replace(warp_backend="xla")
+    return render_chunk(params, trackers, frames, depths)
