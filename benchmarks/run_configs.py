@@ -94,13 +94,14 @@ def config3():
     from visiondepth3d_tpu.stereo import StereoParams
     from visiondepth3d_tpu.stereo.step import render_chunk
 
-    T, K, H, W = 2, 4, 2160, 3840
+    T, K, H, W = 2, 2, 2160, 3840
     model = DPTBEiT(DPT_BEIT_LARGE_512)
     s = 384
     mp = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))["params"]
     pred = DepthPredictor(DPT_BEIT_LARGE_512, mp, inference_size=s,
                           dtype="bfloat16", model=model)
-    params = StereoParams(dof_strength=2.0, enable_healing=True).with_shift_bound(W)
+    params = StereoParams(dof_strength=2.0, dof_levels=3,
+                          enable_healing=True).with_shift_bound(W)
     tr = init_trackers(H, W)
 
     @jax.jit

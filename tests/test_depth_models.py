@@ -116,3 +116,73 @@ def test_vda_short_clip_pads():
     frames = np.random.default_rng(1).random((2, 70, 70, 3)).astype(np.float32)
     depth = pred(frames)
     assert depth.shape == (2, 70, 70)
+
+
+def test_depth_pro_shapes():
+    """DepthPro tiny: multi-scale patching, fusion, head, FOV — shape and
+    finiteness checks (HF's tiny DepthPro isn't instantiable without remote
+    code for some versions; numerical parity is tracked once a checkpoint
+    is mountable)."""
+    import jax
+
+    from visiondepth3d_tpu.depth.depth_pro import DEPTH_PRO_TINY, DepthPro
+
+    model = DepthPro(DEPTH_PRO_TINY)
+    rng2 = np.random.default_rng(0)
+    x = jnp.asarray(rng2.random((2, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    depth, fov = model.apply({"params": params}, x)
+    assert depth.shape[0] == 2 and depth.ndim == 3
+    assert fov.shape == (2,)
+    assert np.isfinite(np.asarray(depth)).all()
+    assert np.isfinite(np.asarray(fov)).all()
+
+
+def test_depth_pro_parity_vs_hf():
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    from transformers import DepthProConfig as HFCfg
+    from transformers import DepthProForDepthEstimation
+    from transformers.models.dinov2 import Dinov2Config
+
+    from visiondepth3d_tpu.depth.depth_pro import (
+        DEPTH_PRO_TINY,
+        DepthPro,
+        convert_depth_pro,
+    )
+
+    tiny = dict(hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+                image_size=32, patch_size=16, layerscale_value=1.0)
+    cfg = HFCfg(
+        patch_model_config=Dinov2Config(**tiny),
+        image_model_config=Dinov2Config(**tiny),
+        fov_model_config=Dinov2Config(**tiny),
+        patch_size=32,
+        scaled_images_ratios=[0.5, 1.0],
+        scaled_images_overlap_ratios=[0.0, 0.25],
+        scaled_images_feature_dims=[16, 16],
+        intermediate_hook_ids=[1],
+        intermediate_feature_dims=[16],
+        fusion_hidden_size=16,
+        merge_padding_value=1,
+        num_fov_head_layers=1,
+        use_fov_model=True,
+    )
+    torch.manual_seed(0)
+    hf = DepthProForDepthEstimation(cfg).eval()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_depth_pro(state, DEPTH_PRO_TINY)
+    model = DepthPro(DEPTH_PRO_TINY)
+    rng2 = np.random.default_rng(0)
+    x = rng2.random((1, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    ref_depth = out.predicted_depth.numpy()
+    ref_fov = out.field_of_view.numpy()
+    depth, fov = model.apply({"params": params}, jnp.asarray(x))
+    assert depth.shape == ref_depth.shape
+    scale = max(np.abs(ref_depth).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(depth) / scale, ref_depth / scale,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fov), ref_fov, atol=1e-3)

@@ -20,7 +20,6 @@ Native design, NHWC, tensors [B, T, H, W, C]:
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ configuration), verified against torch in tests/test_depth_models.py.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,19 +28,21 @@ class UpsampleConv(nn.Module):
 
     channels: int
     factor: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
         f, o = self.factor, self.channels
         b, h, w, c = x.shape
-        # kernel layout (C, O, f, f) flattened to (C, f*f*O) by the converter
+        # kernel layout (C, f, f, O); converter transposes torch's (C, O, f, f)
         kernel = self.param(
             "kernel", nn.initializers.normal(0.02), (c, f, f, o)
         )
-        bias = self.param("bias", nn.initializers.zeros, (o,))
         out = jnp.einsum("bhwc,cfgo->bhfwgo", x, kernel)
         out = out.reshape(b, h * f, w * f, o)
-        return out + bias
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (o,))
+        return out
 
 
 class ReassembleLayer(nn.Module):

@@ -10,7 +10,6 @@ ViT patch multiple (snap_for_vda analog, render_depth.py:56-59).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax

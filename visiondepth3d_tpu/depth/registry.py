@@ -113,12 +113,19 @@ from .zoedepth import ZoeDepthConfig as _ZoeCfg
 
 _add(ModelEntry("zoedepth-nyu", "zoedepth", _ZoeCfg(),
                 "Intel/zoedepth-nyu", ("ZoeDepth",)))
+from .depth_pro import DepthProConfig as _DPConfig
+from .vda import VDA_TINY as _VDA_TINY, VDAConfig as _VDAConfig
+
+_add(ModelEntry("depth-pro", "depth_pro", _DPConfig(), "apple/DepthPro-hf",
+                ("DepthPro",)))
+_add(ModelEntry("video-depth-anything", "vda", _VDAConfig(),
+                "depth-anything/Video-Depth-Anything-Small",
+                ("Video Depth Anything (ONNX)",)))
+# remaining family ports tracked in COVERAGE.md "known gaps"
 for name, hf in [
     ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
     ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),
-    ("depth-pro", "apple/DepthPro-hf"),
     ("midas-v2", "qualcomm/Midas-V2"),
-    ("video-depth-anything", "depth-anything/Video-Depth-Anything-Small"),
 ]:
     _add(ModelEntry(name, "dpt_vit", None, hf, (name,)))
 

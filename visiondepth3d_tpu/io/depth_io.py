@@ -13,11 +13,10 @@ render_depth.py:1750) plus optional 16-bit FFV1 gray16le for Marigold
 from __future__ import annotations
 
 import struct
-from pathlib import Path
 
 import numpy as np
 
-from .video import open_video, open_writer
+from .video import open_video
 
 _MAGIC = b"VD3D16\x00\x01"
 

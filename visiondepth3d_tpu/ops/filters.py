@@ -16,7 +16,6 @@ kernel re-implements the hot subset in-VMEM.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

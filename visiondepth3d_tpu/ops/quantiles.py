@@ -27,7 +27,6 @@ All functions take an optional validity mask instead of boolean indexing
 
 from __future__ import annotations
 
-import functools
 from typing import Literal
 
 import jax

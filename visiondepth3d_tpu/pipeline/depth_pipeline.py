@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..depth.registry import load_predictor
-from ..io.depth_io import Depth16Writer, depth01_to_u16
+from ..io.depth_io import Depth16Writer
 from ..io.video import open_video, open_writer
 from ..ops.resize import resize_bilinear
 

@@ -8,7 +8,6 @@ frame index, restores the trackers and continues bit-identically.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 import numpy as np

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..depth.configs import DPTConfig
 from ..depth.dpt import DepthAnything
-from ..parallel.tp import shard_params, vit_param_spec
+from ..parallel.tp import shard_params
 
 
 def ssi_align(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray):
