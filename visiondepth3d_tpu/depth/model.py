@@ -83,8 +83,25 @@ class DepthPredictor:
 
 
 def init_random(cfg: DPTConfig, seed: int = 0, size: int | None = None) -> dict:
-    """Random-init params (tests / benchmarks without checkpoints)."""
+    """Random-init params (tests / benchmarks without checkpoints).
+
+    Uses ``jax.eval_shape`` + host RNG instead of ``model.init`` — the init
+    program would otherwise compile and run on the accelerator (measured
+    ~2 min through the axon relay) just to produce throwaway weights.
+    """
     model = DepthAnything(cfg)
     s = size or cfg.backbone.image_size
-    x = jnp.zeros((1, s, s, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(seed), x)["params"]
+    x = jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)["params"]
+    rng = np.random.default_rng(seed)
+
+    def make(path, leaf):
+        name = str(path[-1])
+        if "scale" in name or name.endswith("ls1')") or name.endswith("ls2')"):
+            return np.ones(leaf.shape, leaf.dtype)
+        if "bias" in name:
+            return np.zeros(leaf.shape, leaf.dtype)
+        fan_in = leaf.shape[0] if leaf.ndim >= 2 else max(leaf.size, 1)
+        return rng.normal(0.0, fan_in**-0.5, leaf.shape).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(make, shapes)
