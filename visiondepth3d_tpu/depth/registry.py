@@ -122,9 +122,13 @@ _add(ModelEntry("video-depth-anything", "vda", _VDAConfig(),
                 "depth-anything/Video-Depth-Anything-Small",
                 ("Video Depth Anything (ONNX)",)))
 # remaining family ports tracked in COVERAGE.md "known gaps"
+from .zoedepth import ZoeDepthNKConfig as _ZoeNKCfg
+
+_add(ModelEntry("zoedepth-nyu-kitti", "zoedepth_nk", _ZoeNKCfg(),
+                "Intel/zoedepth-nyu-kitti", ("ZoeDepth",)))
+# remaining ports (ResNet+ViT hybrid stem; qualcomm ONNX) tracked in COVERAGE.md
 for name, hf in [
     ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
-    ("zoedepth-nyu-kitti", "Intel/zoedepth-nyu-kitti"),
     ("midas-v2", "qualcomm/Midas-V2"),
 ]:
     _add(ModelEntry(name, "dpt_vit", None, hf, (name,)))

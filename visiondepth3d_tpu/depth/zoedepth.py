@@ -126,11 +126,12 @@ class AttractorLayerUnnormed(nn.Module):
 class ConditionalLogBinomial(nn.Module):
     cfg: ZoeDepthConfig
     in_features: int
+    bottleneck_factor: int = 2
 
     @nn.compact
     def __call__(self, main, condition):
         cfg = self.cfg
-        bottleneck = (self.in_features + cfg.bin_embedding_dim) // 2
+        bottleneck = (self.in_features + cfg.bin_embedding_dim) // self.bottleneck_factor
         h = jnp.concatenate([main, condition], axis=-1)
         h = jax.nn.gelu(_conv1x1(bottleneck, "mlp1")(h), approximate=False)
         h = jax.nn.softplus(_conv1x1(4, "mlp2")(h))
@@ -238,9 +239,8 @@ class ZoeDepth(nn.Module):
         return jnp.sum(probs * centers_up, axis=-1)  # [B, H', W'] metric depth
 
 
-def convert_zoedepth(state: dict, cfg: ZoeDepthConfig) -> dict:
-    """HF ZoeDepthForDepthEstimation (single-head) state dict -> flax params."""
-    g = {k: np.asarray(v, np.float32) for k, v in state.items()}
+def _convert_zoe_trunk(g: dict, cfg: ZoeDepthConfig) -> dict:
+    """Shared trunk (backbone + neck + relative head) conversion."""
     p = cfg.backbone.patch_size
     hid = cfg.backbone.hidden_size
 
@@ -319,7 +319,18 @@ def convert_zoedepth(state: dict, cfg: ZoeDepthConfig) -> dict:
     params["rel_conv1"] = conv("relative_head.conv1")
     params["rel_conv2"] = conv("relative_head.conv2")
     params["rel_conv3"] = d1("relative_head.conv3")
+    return params
 
+
+def convert_zoedepth(state: dict, cfg: ZoeDepthConfig) -> dict:
+    """HF ZoeDepthForDepthEstimation (single-head) state dict -> flax params."""
+    g = {k: np.asarray(v, np.float32) for k, v in state.items()}
+
+    def d1(prefix):
+        return {"kernel": g[f"{prefix}.weight"][:, :, 0, 0].T,
+                "bias": g[f"{prefix}.bias"]}
+
+    params = _convert_zoe_trunk(g, cfg)
     params["metric_conv2"] = d1("metric_head.conv2")
     params["seed_bin"] = {
         "conv1": d1("metric_head.seed_bin_regressor.conv1"),
@@ -342,4 +353,285 @@ def convert_zoedepth(state: dict, cfg: ZoeDepthConfig) -> dict:
         "mlp1": d1("metric_head.conditional_log_binomial.mlp.0"),
         "mlp2": d1("metric_head.conditional_log_binomial.mlp.2"),
     }
+    return params
+
+
+# ---------------- two-domain (NYU+KITTI) router variant ----------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoeDomain:
+    name: str = "nyu"
+    n_bins: int = 64
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoeDepthNKConfig:
+    base: ZoeDepthConfig = ZoeDepthConfig()
+    domains: tuple = (ZoeDomain("nyu", 64, 1e-3, 10.0),
+                      ZoeDomain("kitti", 64, 1e-3, 80.0))
+    patch_transformer_hidden_size: int = 128
+    patch_transformer_intermediate_size: int = 1024
+    patch_transformer_heads: int = 4
+    num_patch_transformer_layers: int = 4
+    # HF's two-head constructor passes num_attractors[i] as n_bins, leaving
+    # every attractor at its default of 16 points — preserved for checkpoint
+    # compatibility (modeling_zoedepth.py:1026-1037)
+    router_attractors: int = 16
+
+
+ZOE_NK_TINY = ZoeDepthNKConfig(
+    base=ZOE_TINY,
+    domains=(ZoeDomain("nyu", 8, 1e-3, 10.0), ZoeDomain("kitti", 8, 1e-3, 80.0)),
+    # HF hardcodes the classifier input at 128 and range(4) layers
+    patch_transformer_hidden_size=128,
+    patch_transformer_intermediate_size=32,
+    patch_transformer_heads=2,
+    num_patch_transformer_layers=4,
+)
+
+
+def _sinusoid_1d(seq: int, dim: int) -> jnp.ndarray:
+    pos = jnp.arange(seq, dtype=jnp.float32)[:, None]
+    idx = jnp.arange(0, dim, 2, dtype=jnp.float32)[None, :]
+    div = jnp.exp(idx * (-jnp.log(10000.0) / dim))
+    pe = pos * div
+    return jnp.concatenate([jnp.sin(pe), jnp.cos(pe)], axis=1)
+
+
+class PatchTransformerLayer(nn.Module):
+    cfg: ZoeDepthNKConfig
+
+    @nn.compact
+    def __call__(self, x):  # post-LN torch TransformerEncoderLayer style
+        c = self.cfg.patch_transformer_hidden_size
+        nh = self.cfg.patch_transformer_heads
+        hd = c // nh
+        q = nn.Dense(c, name="q")(x)
+        k = nn.Dense(c, name="k")(x)
+        v = nn.Dense(c, name="v")(x)
+
+        def heads(t):
+            return t.reshape(t.shape[0], t.shape[1], nh, hd)
+
+        att = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        att = nn.Dense(c, name="out")(att.reshape(x.shape[0], x.shape[1], c))
+        x = nn.LayerNorm(name="norm1")(x + att)
+        h = nn.Dense(self.cfg.patch_transformer_intermediate_size,
+                     name="linear1")(x)
+        h = nn.Dense(c, name="linear2")(jax.nn.relu(h))
+        return nn.LayerNorm(name="norm2")(x + h)
+
+
+class ZoeDepthNK(nn.Module):
+    """ZoeDepth with the two-domain router: a patch-transformer classifier
+    on the bottleneck votes NYU vs KITTI per batch; the selected domain's
+    bin machinery produces metric depth. Returns (depth, domain_logits)."""
+
+    cfg: ZoeDepthNKConfig = ZoeDepthNKConfig()
+
+    @nn.compact
+    def __call__(self, pixels):
+        cfg = self.cfg.base
+        nk = self.cfg
+        trunk = _ZoeTrunk(cfg, name="trunk")
+        bottleneck, fused_all, rel_features, relative_depth = trunk(pixels)
+
+        x = _conv1x1(cfg.bottleneck_features, "metric_conv2")(bottleneck)
+
+        # classifier: 1x1 embed, CLS pad, sinusoidal pos, 4 encoder layers
+        emb = _conv1x1(nk.patch_transformer_hidden_size, "pt_embed")(x)
+        b, hh, ww, c = emb.shape
+        tokens = emb.reshape(b, hh * ww, c)
+        tokens = jnp.pad(tokens, [(0, 0), (1, 0), (0, 0)])
+        tokens = tokens + _sinusoid_1d(tokens.shape[1], c)[None]
+        for i in range(nk.num_patch_transformer_layers):
+            tokens = PatchTransformerLayer(nk, name=f"pt{i}")(tokens)
+        cls = tokens[:, 0]
+        h = jax.nn.relu(nn.Dense(c, name="clf1")(cls))
+        domain_logits = nn.Dense(2, name="clf2")(h)
+        vote = jax.nn.softmax(jnp.sum(domain_logits, axis=0))
+        domain_idx = jnp.argmax(vote)
+
+        seed_emb = Projector(cfg.bin_embedding_dim,
+                             mlp_dim=cfg.bin_embedding_dim // 2,
+                             name="seed_proj")(x)
+        proj_embs = [
+            Projector(cfg.bin_embedding_dim, mlp_dim=cfg.bin_embedding_dim // 2,
+                      name=f"proj{i}")(f)
+            for i, f in enumerate(fused_all)
+        ]
+
+        # flax params can't be created under lax.switch; the per-domain bin
+        # heads are tiny 1x1-conv stacks, so run both and select by the vote
+        def run_domain(dom: ZoeDomain):
+            sb = SeedBinRegressorSmall(cfg, dom.n_bins, name=f"seed_{dom.name}")
+            prev_bin = sb(x)
+            prev_emb = seed_emb
+            bin_centers = prev_bin
+            for i, emb_i in enumerate(proj_embs):
+                prev_bin, bin_centers = AttractorLayerUnnormed(
+                    cfg, nk.router_attractors,
+                    name=f"attr_{dom.name}_{i}",
+                )(emb_i, prev_bin, prev_emb)
+                prev_emb = emb_i
+            centers_up = resize_bilinear(bin_centers, rel_features.shape[1:3],
+                                         align_corners=True, channel_last=True)
+            emb_up = resize_bilinear(prev_emb, rel_features.shape[1:3],
+                                     align_corners=True, channel_last=True)
+            probs = ConditionalLogBinomial(
+                dataclasses.replace(cfg, n_bins=dom.n_bins),
+                cfg.num_relative_features, bottleneck_factor=4,
+                name=f"clb_{dom.name}",
+            )(rel_features, emb_up)
+            return jnp.sum(probs * centers_up, axis=-1)
+
+        depths = [run_domain(d) for d in nk.domains]
+        depth = jnp.where(domain_idx == 0, depths[0], depths[1])
+        return depth, domain_logits
+
+
+class SeedBinRegressorSmall(nn.Module):
+    """Multi-head variant seed regressor (mlp_dim = bin_embedding_dim // 2)."""
+
+    cfg: ZoeDepthConfig
+    n_bins: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = jax.nn.relu(
+            _conv1x1(self.cfg.bin_embedding_dim // 2, "conv1")(x)
+        )
+        return jax.nn.softplus(_conv1x1(self.n_bins, "conv2")(h))
+
+
+class _ZoeTrunk(nn.Module):
+    """Backbone + neck + relative head shared by the single/multi variants."""
+
+    cfg: ZoeDepthConfig
+
+    @nn.compact
+    def __call__(self, pixels):
+        cfg = self.cfg
+        feats, (gh, gw) = BEiTBackbone(
+            cfg.backbone, cfg.out_indices, name="backbone"
+        )(pixels)
+        maps = []
+        for i, (feat, ch, factor) in enumerate(
+            zip(feats, cfg.neck_hidden_sizes, cfg.reassemble_factors)
+        ):
+            cls_tok, tokens = feat[:, 0], feat[:, 1:]
+            readout = jnp.broadcast_to(cls_tok[:, None, :], tokens.shape)
+            t = jnp.concatenate([tokens, readout], axis=-1)
+            t = nn.Dense(cfg.backbone.hidden_size, name=f"readout{i}")(t)
+            t = jax.nn.gelu(t, approximate=False)
+            fm = t.reshape(t.shape[0], gh, gw, t.shape[-1])
+            maps.append(ReassembleLayer(ch, factor, name=f"reassemble{i}")(fm))
+        scratch = [
+            nn.Conv(cfg.fusion_hidden_size, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name=f"scratch{i}")(m)
+            for i, m in enumerate(maps)
+        ]
+        bottleneck = scratch[-1]
+        rev = scratch[::-1]
+        fused = None
+        fused_all = []
+        for idx, stage in enumerate(rev):
+            name = f"fusion{idx}"
+            if fused is None:
+                fused = stage
+            else:
+                res = stage
+                if res.shape[1:3] != fused.shape[1:3]:
+                    res = resize_bilinear(res, fused.shape[1:3],
+                                          align_corners=False, channel_last=True)
+                fused = fused + PreActResidual(cfg.fusion_hidden_size,
+                                               name=f"{name}_res1")(res)
+            fused = PreActResidual(cfg.fusion_hidden_size,
+                                   name=f"{name}_res2")(fused)
+            fused = resize_bilinear(fused,
+                                    (fused.shape[1] * 2, fused.shape[2] * 2),
+                                    align_corners=True, channel_last=True)
+            fused = nn.Dense(cfg.fusion_hidden_size, name=f"{name}_proj")(fused)
+            fused_all.append(fused)
+
+        x = nn.Conv(cfg.fusion_hidden_size // 2, (3, 3),
+                    padding=((1, 1), (1, 1)), name="rel_conv1")(fused_all[-1])
+        x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                            align_corners=True, channel_last=True)
+        x = nn.Conv(cfg.num_relative_features, (3, 3),
+                    padding=((1, 1), (1, 1)), name="rel_conv2")(x)
+        x = jax.nn.relu(x)
+        rel_features = x
+        relative_depth = jax.nn.relu(nn.Dense(1, name="rel_conv3")(x))[..., 0]
+        return bottleneck, fused_all, rel_features, relative_depth
+
+
+def convert_zoedepth_nk(state: dict, cfg: ZoeDepthNKConfig) -> dict:
+    """HF ZoeDepthForDepthEstimation (two-domain NYU+KITTI) -> flax params."""
+    g = {k: np.asarray(v, np.float32) for k, v in state.items()}
+    base = cfg.base
+
+    def lin(prefix, bias=True):
+        out = {"kernel": g[f"{prefix}.weight"].T}
+        if bias:
+            out["bias"] = g[f"{prefix}.bias"]
+        return out
+
+    def conv(prefix, bias=True):
+        out = {"kernel": g[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = g[f"{prefix}.bias"]
+        return out
+
+    def d1(prefix):
+        return {"kernel": g[f"{prefix}.weight"][:, :, 0, 0].T,
+                "bias": g[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": g[f"{prefix}.weight"], "bias": g[f"{prefix}.bias"]}
+
+    trunk = _convert_zoe_trunk(g, base)
+    params: dict = {"trunk": trunk,
+                    "metric_conv2": d1("metric_head.conv2"),
+                    "pt_embed": d1("metric_head.patch_transformer.embedding_convPxP"),
+                    "clf1": lin("metric_head.mlp_classifier.linear1"),
+                    "clf2": lin("metric_head.mlp_classifier.linear2"),
+                    "seed_proj": {
+                        "conv1": d1("metric_head.seed_projector.conv1"),
+                        "conv2": d1("metric_head.seed_projector.conv2"),
+                    }}
+    for i in range(cfg.num_patch_transformer_layers):
+        pre = f"metric_head.patch_transformer.transformer_encoder.{i}"
+        params[f"pt{i}"] = {
+            "q": lin(f"{pre}.self_attn.query"),
+            "k": lin(f"{pre}.self_attn.key"),
+            "v": lin(f"{pre}.self_attn.value"),
+            "out": lin(f"{pre}.self_attn.out_proj"),
+            "linear1": lin(f"{pre}.linear1"),
+            "linear2": lin(f"{pre}.linear2"),
+            "norm1": ln(f"{pre}.norm1"),
+            "norm2": ln(f"{pre}.norm2"),
+        }
+    for i in range(4):
+        params[f"proj{i}"] = {
+            "conv1": d1(f"metric_head.projectors.{i}.conv1"),
+            "conv2": d1(f"metric_head.projectors.{i}.conv2"),
+        }
+    for dom in cfg.domains:
+        params[f"seed_{dom.name}"] = {
+            "conv1": d1(f"metric_head.seed_bin_regressors.{dom.name}.conv1"),
+            "conv2": d1(f"metric_head.seed_bin_regressors.{dom.name}.conv2"),
+        }
+        for i in range(4):
+            params[f"attr_{dom.name}_{i}"] = {
+                "conv1": d1(f"metric_head.attractors.{dom.name}.{i}.conv1"),
+                "conv2": d1(f"metric_head.attractors.{dom.name}.{i}.conv2"),
+            }
+        params[f"clb_{dom.name}"] = {
+            "mlp1": d1(f"metric_head.conditional_log_binomial.{dom.name}.mlp.0"),
+            "mlp2": d1(f"metric_head.conditional_log_binomial.{dom.name}.mlp.2"),
+        }
     return params
