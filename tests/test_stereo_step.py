@@ -112,3 +112,33 @@ def test_format_packing(rng):
     assert l2.shape == (64, 48, 3) and r2.shape == (64, 48, 3)
     l3, r3 = pack_per_eye(left, right, "Full-SBS", 128, 64)
     assert l3.shape == (64, 128, 3)
+
+
+def test_bf16_image_mode_close_to_f32():
+    """image_dtype="bfloat16" is an opt-in perf mode: depth statistics stay
+    f32 and the packed u8 output stays within a few steps of the f32 render
+    almost everywhere (worst case sits on feather/heal mask thresholds)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from visiondepth3d_tpu.state import init_trackers
+    from visiondepth3d_tpu.stereo import StereoParams
+    from visiondepth3d_tpu.stereo.step import render_chunk
+
+    H, W, T = 64, 128, 3
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
+    xx = np.broadcast_to(np.linspace(0.1, 0.9, W, dtype=np.float32), (H, W))
+    depths = jnp.asarray(np.broadcast_to(xx, (T, H, W)).copy())
+
+    base = StereoParams(enable_healing=True).with_shift_bound(W).replace(
+        warp_backend="xla"
+    )
+    _, o32 = render_chunk(base, init_trackers(H, W), frames, depths)
+    _, o16 = render_chunk(
+        base.replace(image_dtype="bfloat16"), init_trackers(H, W), frames, depths
+    )
+    u32 = np.clip(np.asarray(o32.left, np.float32) * 255 + 0.5, 0, 255).astype(int)
+    u16 = np.clip(np.asarray(o16.left, np.float32) * 255 + 0.5, 0, 255).astype(int)
+    diff = np.abs(u32 - u16)
+    assert diff.mean() < 1.0
+    assert (diff > 2).mean() < 0.02

@@ -213,6 +213,9 @@ def main(argv=None) -> int:
     dp.add_argument("--batch-size", type=int, default=8)
     dp.add_argument("--invert", action="store_true")
     dp.add_argument("--bits", type=int, default=8, choices=[8, 16])
+    dp.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="inference precision (bfloat16 ~ 20%% faster on TPU)")
 
     tp = sub.add_parser("tools", help="RIFE interpolation + Real-ESRGAN upscale")
     tp.add_argument("--input", required=True)

@@ -72,7 +72,9 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(t.shape[0], t.shape[1], nh, hd)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        from ..ops.attention import multi_head_attention
+
+        out = multi_head_attention(heads(q), heads(k), heads(v))
         out = out.reshape(x.shape[0], x.shape[1], c)
         return nn.Dense(c, name="proj")(out)
 

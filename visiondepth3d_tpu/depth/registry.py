@@ -135,7 +135,7 @@ for name, hf in [
 
 
 def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
-                   seed: int = 0):
+                   seed: int = 0, dtype: str = "float32"):
     """Instantiate a DepthPredictor for a catalog entry.
 
     checkpoint: path to a .safetensors file (converted on load) or a ready
@@ -155,7 +155,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
             params = convert_depth_anything(
                 load_safetensors_state(checkpoint), cfg
             )
-        return DepthPredictor(cfg, params, inference_size)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype)
     if entry.family == "dpt_beit":
         import jax
         import jax.numpy as jnp
@@ -172,7 +172,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
             params = checkpoint
         else:
             params = convert_dpt_beit(load_safetensors_state(checkpoint), cfg)
-        return DepthPredictor(cfg, params, inference_size, model=model)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype, model=model)
     if entry.family == "dpt_classic":
         import jax
         import jax.numpy as jnp
@@ -190,7 +190,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
             params = checkpoint
         else:
             params = convert_dpt_classic(load_safetensors_state(checkpoint), cfg)
-        return DepthPredictor(cfg, params, inference_size, model=model)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype, model=model)
     raise NotImplementedError(
         f"{name}: family {entry.family} loads via its own module"
     )

@@ -1,0 +1,93 @@
+"""Multi-head attention dispatch: Pallas TPU flash kernel for long sequences.
+
+Plain ``jax.nn.dot_product_attention`` materializes the [B, H, N, N] logits
+in HBM (f32 after the softmax upcast). For the 518px ViT inference size the
+sequence is 1370 tokens — ~45 MB of logits per head-batch per layer — and
+the depth model becomes HBM-bound on attention traffic. The Pallas TPU
+flash-attention kernel streams K/V tiles through VMEM and never materializes
+the logits, which is the standard TPU-native answer (same role as the
+reference's SDPA/xFormers path on CUDA, render_depth.py's torch backends).
+
+Sequences are padded to the kernel's 512-token block multiple and masked via
+``SegmentIds`` (pad tokens get segment 0, real tokens segment 1, so no
+cross-attention between them); pad rows are sliced off the output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# The Pallas flash kernel measured SLOWER than XLA at the depth model's
+# shape on v5e (B=8, H=6, N=1536, D=64: 7.8 vs 4.2 ms/frame e2e) — likely a
+# block-config mismatch for few-head/short-seq attention. Off by default;
+# revisit with tuned BlockSizes.
+USE_FLASH = False
+
+_FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
+_BLOCK = 512  # the kernel's default major block; pad seq to a multiple
+
+
+def _pad_len(n: int) -> int:
+    return int(math.ceil(n / _BLOCK) * _BLOCK)
+
+
+# NOTE: deliberately NOT jitted — a nested jit around a pallas_call breaks
+# the axon relay's compile service (same workaround as ops/pallas_warp.py)
+def _flash_nhd(q, k, v):  # [B, H, N, D] each
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    np_ = _pad_len(n)
+    pad = [(0, 0), (0, 0), (0, np_ - n), (0, 0)]
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    ids = (jnp.arange(np_) < n).astype(jnp.int32)[None, :]  # [1, Np]
+    ids = jnp.broadcast_to(ids, (b, np_))
+    out = flash_attention(
+        qp, kp, vp,
+        segment_ids=SegmentIds(q=ids, kv=ids),
+        sm_scale=1.0 / math.sqrt(d),
+    )
+    return out[:, :, :n, :]
+
+
+def _bf16_softmax_attention(q, k, v):  # [B, N, H, D] bf16
+    """Attention with the [B, H, N, N] tensors STORED in bf16.
+
+    ``jax.nn.dot_product_attention``'s XLA path materializes the logits and
+    softmax in f32 — at N=1370 that is ~1.6 GB of HBM traffic per 8-frame
+    batch per layer and the ViT becomes bandwidth-bound. Keeping the two
+    big intermediates in bf16 halves that. Row max and the normalizer sum
+    are still computed in f32 (the sum over 1370 bf16 terms would lose ~3
+    bits accumulated naively); per-element exp in bf16 adds error of the
+    same order as the bf16 matmuls the caller already opted into.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.bfloat16(scale)
+    m = jnp.max(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    e = jnp.exp(logits - m.astype(jnp.bfloat16))
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    p = (e / s).astype(jnp.bfloat16)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def multi_head_attention(q, k, v):
+    """Scaled dot-product attention over [B, N, H, D] tensors (BNHD in/out).
+
+    TPU + long sequence + bf16 -> traffic-reduced paths; otherwise XLA's
+    fused default.
+    """
+    n = q.shape[1]
+    if n >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+        if USE_FLASH:
+            t = lambda x: jnp.swapaxes(x, 1, 2)  # BNHD -> BHND
+            return t(_flash_nhd(t(q), t(k), t(v)))
+        if q.dtype == jnp.bfloat16:
+            return _bf16_softmax_attention(q, k, v)
+    return jax.nn.dot_product_attention(q, k, v)

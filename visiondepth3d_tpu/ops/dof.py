@@ -48,7 +48,9 @@ def apply_dof(
 
     blur_idx = jnp.clip(blur_weights * (n - 1), 0.0, n - 1 - 1e-6)
     lower_idx = jnp.clip(jnp.floor(blur_idx), 0, n - 2)
-    alpha = (blur_idx - lower_idx)[..., None]
+    # level weights in the image dtype (dtype-preserving for bf16 frames)
+    alpha = (blur_idx - lower_idx)[..., None].astype(rgb.dtype)
+    lower_idx = lower_idx.astype(rgb.dtype)
 
     # Select the two adjacent levels without a gather: sum over levels with
     # indicator weights (n is tiny, so this is n fused FMAs per pixel).

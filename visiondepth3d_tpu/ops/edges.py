@@ -54,7 +54,9 @@ def feather_shift_edges(
     """
     dx, dy = forward_diff_grad(warped_depth)
     grad_mag = jnp.sqrt(dx * dx + dy * dy)
-    edge_mask = jnp.clip(grad_mag * feather_strength, 0.0, 1.0)
+    edge_mask = jnp.clip(
+        grad_mag * jnp.asarray(feather_strength, grad_mag.dtype), 0.0, 1.0
+    )
     blend = box_blur(edge_mask, blur_ksize)[..., None]
     out = shifted * (1.0 - blend) + original * blend
     return jnp.clip(out, 0.0, 1.0)
@@ -77,7 +79,8 @@ def heal_missing_pixels(
     missing = (grad_mag > threshold).astype(warped_frame.dtype)
     missing = jnp.clip(box_blur(missing, 5), 0.0, 1.0)
     if edge_mask is not None:
-        missing = jnp.maximum(missing, edge_mask)
+        missing = jnp.maximum(missing, edge_mask.astype(missing.dtype))
+    heal_strength = jnp.asarray(heal_strength, warped_frame.dtype)
     m = missing[..., None]
     healed = (1.0 - heal_strength * m) * warped_frame + heal_strength * m * original_frame
     soft = box_blur(jnp.moveaxis(healed, -1, 0), 3)

@@ -32,11 +32,17 @@ def box_blur(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
     if ksize <= 1:
         return x
     pad = ksize // 2
-    window = [1] * (x.ndim - 2) + [ksize, ksize]
     strides = [1] * x.ndim
-    padding = [(0, 0)] * (x.ndim - 2) + [(pad, ksize - 1 - pad), (pad, ksize - 1 - pad)]
-    summed = lax.reduce_window(x, 0.0, lax.add, window, strides, padding)
-    return summed / float(ksize * ksize)
+    # separable: two 1-D window sums (k+k reads/px instead of k*k); the
+    # zero padding makes row/column sums exactly commute with avg_pool2d
+    pad_h = [(0, 0)] * (x.ndim - 2) + [(pad, ksize - 1 - pad), (0, 0)]
+    pad_w = [(0, 0)] * (x.ndim - 2) + [(0, 0), (pad, ksize - 1 - pad)]
+    win_h = [1] * (x.ndim - 2) + [ksize, 1]
+    win_w = [1] * (x.ndim - 2) + [1, ksize]
+    zero = jnp.zeros((), x.dtype)
+    summed = lax.reduce_window(x, zero, lax.add, win_h, strides, pad_h)
+    summed = lax.reduce_window(summed, zero, lax.add, win_w, strides, pad_w)
+    return summed / jnp.asarray(float(ksize * ksize), x.dtype)
 
 
 @functools.lru_cache(maxsize=64)

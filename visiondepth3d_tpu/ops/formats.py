@@ -73,7 +73,9 @@ def apply_side_mask(img: jnp.ndarray, bar_width, side_sign) -> jnp.ndarray:
     img: [H, W, C].
     """
     w = img.shape[1]
-    cols = jnp.arange(w, dtype=img.dtype)[None, :, None]
+    # column indices in f32 regardless of image dtype (bf16 cannot resolve
+    # column positions past 256)
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :, None]
     left_keep = cols >= bar_width
     right_keep = cols < (w - bar_width)
     keep = jnp.where(side_sign < 0, left_keep, jnp.where(side_sign > 0, right_keep, True))

@@ -16,6 +16,11 @@ def apply_color_grade(
     rgb: jnp.ndarray, saturation=1.0, contrast=1.0, brightness=0.0
 ) -> jnp.ndarray:
     """rgb: [..., 3] float in [0, 1] (channel-last). All params may be traced."""
+    # keep the op dtype-preserving: traced f32 scalars must not upcast a
+    # bf16 image back to f32
+    saturation = jnp.asarray(saturation, rgb.dtype)
+    contrast = jnp.asarray(contrast, rgb.dtype)
+    brightness = jnp.asarray(brightness, rgb.dtype)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     luma = REC709[0] * r + REC709[1] * g + REC709[2] * b
     luma = luma[..., None]

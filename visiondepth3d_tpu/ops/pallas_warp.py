@@ -39,23 +39,45 @@ def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
 
     frame = frame_ref[:]  # [C, BH, W]
     depth = depth_ref[:]  # [BH, W]
+    # tap FMAs run in the image dtype (bf16 halves the VPU/roll traffic);
+    # the positional math above is always f32 — bf16 cannot resolve
+    # column indices past 256
+    dt = frame.dtype
 
     acc_l = jnp.zeros_like(frame)
     acc_r = jnp.zeros_like(frame)
     acc_dl = jnp.zeros_like(depth)
     acc_dr = jnp.zeros_like(depth)
 
+    # Mosaic's dynamic_rotate only handles 32-bit lanes; for bf16 planes,
+    # bitcast PAIRS OF ROWS (sublanes) into one i32 plane — a lane-axis roll
+    # then shifts both packed rows by the same column count, which is
+    # exactly the warp's semantics. Positions/weights are per-column and
+    # row-independent, so nothing else changes.
+    packed = dt == jnp.bfloat16
+    if packed:
+        frame_p = pltpu.bitcast(frame, jnp.int32)  # [C, BH/2, W]
+        depth_p = pltpu.bitcast(depth, jnp.int32)  # [BH/2, W]
+    else:
+        frame_p, depth_p = frame, depth
+
+    def _tap(pack, k, axis):
+        rolled = pltpu.roll(pack, -k % w, axis=axis)
+        return pltpu.bitcast(rolled, dt) if packed else rolled
+
     for k in range(-k0, k0 + 2):
         tap = x_idx + k
         wl = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_l - tap), 0.0), 1.0)
         wr = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_r - tap), 0.0), 1.0)
+        wl = wl.astype(dt)
+        wr = wr.astype(dt)
         # value at source column x + k == roll by -k along lanes
-        f_k = pltpu.roll(frame, -k % w, axis=2)
-        d_k = pltpu.roll(depth, -k % w, axis=1)
+        f_k = _tap(frame_p, k, 2)
+        d_k = _tap(depth_p, k, 1)
         acc_l = acc_l + f_k * wl[None]
         acc_r = acc_r + f_k * wr[None]
-        acc_dl = acc_dl + d_k * wl
-        acc_dr = acc_dr + d_k * wr
+        acc_dl = acc_dl + d_k * wl.astype(depth.dtype)
+        acc_dr = acc_dr + d_k * wr.astype(depth.dtype)
 
     left_ref[:] = acc_l
     right_ref[:] = acc_r
@@ -79,6 +101,8 @@ def stereo_warp_pallas(
     h, w = frame.shape[0], frame.shape[1]
     fr = jnp.moveaxis(frame, -1, 0)  # [3, H, W]
     bh = min(block_rows, h)
+    if frame.dtype == jnp.bfloat16:
+        bh = max(2, bh - (bh % 2))  # row-pair bitcast needs even blocks
     grid = (pl.cdiv(h, bh),)
 
     out_shapes = (

@@ -39,6 +39,7 @@ class DepthConfig:
     batch_size: int = 8
     invert: bool = False
     bits: int = 8  # 8 -> video, 16 -> .vd16
+    dtype: str = "float32"  # "bfloat16": bf16 matmuls + bf16-softmax attention
     codec: str = "libx264"
     percentile_lo: float = 1.0
     percentile_hi: float = 99.0
@@ -87,7 +88,7 @@ def render_depth_video_file(
                                        progress_cb, predictor)
     rd = open_video(input_path)
     pred = predictor or load_predictor(
-        cfg.model, cfg.checkpoint, cfg.inference_size
+        cfg.model, cfg.checkpoint, cfg.inference_size, dtype=cfg.dtype
     )
 
     # letterbox bootstrap on buffered probe frames (render_depth.py:1730);
@@ -238,6 +239,7 @@ def render_depth_video(args) -> int:
         batch_size=args.batch_size,
         invert=args.invert,
         bits=args.bits,
+        dtype=getattr(args, "dtype", "float32"),
     )
     output = args.output
     if output is None:

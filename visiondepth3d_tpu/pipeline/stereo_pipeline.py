@@ -159,6 +159,11 @@ def render_stereo_video(
     render_3d.py:1195-1220 suspend/cancel analog — suspension is just the
     caller not returning from the callback)."""
     params = params or StereoParams()
+    # fail on malformed params BEFORE the output file is opened — otherwise
+    # a typo'd --image_dtype leaves a partial .y4m behind
+    import numpy as _np
+
+    _np.dtype(params.image_dtype)
     cfg = cfg or RenderConfig()
 
     rd = open_video(input_path, cfg.start_s, cfg.end_s)

@@ -73,6 +73,11 @@ class StereoParams:
     enable_curvature: bool = struct.field(pytree_node=False, default=True)
     enable_dynamic_parallax: bool = struct.field(pytree_node=False, default=True)
     quantile_mode: str = struct.field(pytree_node=False, default="hist")
+    # dtype for the image-plane ops (warp taps, feather/heal blends, grade,
+    # sharpen, DOF): "bfloat16" halves VPU/HBM traffic on the [H, W, 3]
+    # tensors at a worst-case +-1 u8 step in the output; depth statistics,
+    # EMA trackers and the positional warp math always stay float32.
+    image_dtype: str = struct.field(pytree_node=False, default="float32")
     parity_quantize: bool = struct.field(pytree_node=False, default=False)
     dof_focus_width: float = struct.field(pytree_node=False, default=0.35)
     dof_levels: int = struct.field(pytree_node=False, default=5)

@@ -167,18 +167,24 @@ def pixel_shift(
 
     t, final_shift = compute_shift_map(p, t, shaped, subject_depth, p.fg_shift,
                                        p.mg_shift, p.bg_shift)
-    left, right, dleft, dright = _dispatch_warp(p, frame, shaped, final_shift)
+    # image-plane ops run in p.image_dtype (bf16 perf mode); the shift map
+    # and all depth statistics above stay f32
+    img_dt = jnp.dtype(p.image_dtype)
+    frame_i = frame.astype(img_dt)
+    left, right, dleft, dright = _dispatch_warp(
+        p, frame_i, shaped.astype(img_dt), final_shift
+    )
 
     if p.enable_feathering:
         left = edges.feather_shift_edges(
-            left, frame, dleft, p.blur_ksize, p.feather_strength
+            left, frame_i, dleft, p.blur_ksize, p.feather_strength
         )
         right = edges.feather_shift_edges(
-            right, frame, dright, p.blur_ksize, p.feather_strength
+            right, frame_i, dright, p.blur_ksize, p.feather_strength
         )
     if p.enable_healing:
-        left = edges.heal_missing_pixels(left, frame, None, p.heal_strength)
-        right = edges.heal_missing_pixels(right, frame, None, p.heal_strength)
+        left = edges.heal_missing_pixels(left, frame_i, None, p.heal_strength)
+        right = edges.heal_missing_pixels(right, frame_i, None, p.heal_strength)
     return t, left, right, final_shift, subject_depth
 
 
@@ -260,8 +266,8 @@ def stereo_frame_step(
     # blank-frame passthrough: source in both eyes, warp-side trackers frozen
     if is_blank is not None:
         blank = is_blank
-        left = jnp.where(blank, frame_w, left)
-        right = jnp.where(blank, frame_w, right)
+        left = jnp.where(blank, frame_w.astype(left.dtype), left)
+        right = jnp.where(blank, frame_w.astype(right.dtype), right)
         t = t.replace(
             fw_offset=jnp.where(blank, t_in.fw_offset, t.fw_offset),
             fw_counter=jnp.where(blank, t_in.fw_counter, t.fw_counter),
