@@ -55,7 +55,11 @@ def main():
         DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE),
         inference_size=SIZE, dtype="bfloat16",
     )
-    params = StereoParams(enable_healing=True).with_shift_bound(W)
+    # bf16 image-plane stereo (stats/trackers stay f32; ~0.7 u8 step mean
+    # delta vs f32, see tests/test_stereo_step.py) — measured 5.8 -> 5.0
+    # ms/frame on the stereo stage
+    params = StereoParams(enable_healing=True, image_dtype="bfloat16"
+                          ).with_shift_bound(W)
 
     from jax import lax
 

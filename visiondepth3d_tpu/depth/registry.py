@@ -126,12 +126,13 @@ from .zoedepth import ZoeDepthNKConfig as _ZoeNKCfg
 
 _add(ModelEntry("zoedepth-nyu-kitti", "zoedepth_nk", _ZoeNKCfg(),
                 "Intel/zoedepth-nyu-kitti", ("ZoeDepth",)))
-# remaining ports (ResNet+ViT hybrid stem; qualcomm ONNX) tracked in COVERAGE.md
-for name, hf in [
-    ("midas-v3-hybrid", "Intel/dpt-hybrid-midas"),
-    ("midas-v2", "qualcomm/Midas-V2"),
-]:
-    _add(ModelEntry(name, "dpt_vit", None, hf, (name,)))
+from .dpt_hybrid import DPT_HYBRID as _DPT_HYBRID
+
+_add(ModelEntry("midas-v3-hybrid", "dpt_hybrid", _DPT_HYBRID,
+                "Intel/dpt-hybrid-midas", ("DPT-Hybrid (MiDaS 3.0)",)))
+# remaining port (qualcomm ONNX distribution) tracked in COVERAGE.md
+_add(ModelEntry("midas-v2", "dpt_vit", None, "qualcomm/Midas-V2",
+                ("midas-v2",)))
 
 
 def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
@@ -172,6 +173,23 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
             params = checkpoint
         else:
             params = convert_dpt_beit(load_safetensors_state(checkpoint), cfg)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype, model=model)
+    if entry.family == "dpt_hybrid":
+        import jax
+        import jax.numpy as jnp
+
+        from .dpt_hybrid import DPTHybrid, convert_dpt_hybrid
+
+        model = DPTHybrid(cfg)
+        if checkpoint is None:
+            s = inference_size - inference_size % cfg.backbone.patch_size
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_dpt_hybrid(load_safetensors_state(checkpoint), cfg)
         return DepthPredictor(cfg, params, inference_size, dtype=dtype, model=model)
     if entry.family == "dpt_classic":
         import jax
