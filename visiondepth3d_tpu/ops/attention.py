@@ -20,10 +20,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-# The Pallas flash kernel measured SLOWER than XLA at the depth model's
-# shape on v5e (B=8, H=6, N=1536, D=64: 7.8 vs 4.2 ms/frame e2e) — likely a
-# block-config mismatch for few-head/short-seq attention. Off by default;
-# revisit with tuned BlockSizes.
+# The Pallas flash kernel loses to the bf16-softmax path at the depth
+# model's shape on v5e ([8, 6, N, 64] per call): default blocks 3592 us,
+# tuned blocks (block_q=N_pad, block_k=512) 1160 us at N_pad=1536 — but the
+# bf16-softmax path runs at the TRUE length (1370: ~1040 us) and wins
+# because flash must pad to the 512 block multiple. Off by default; flip on
+# for shapes that are already block-aligned.
 USE_FLASH = False
 
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins

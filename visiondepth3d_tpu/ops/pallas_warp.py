@@ -36,6 +36,10 @@ def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
     # MLIR lowering cache; spell out max/min instead
     src_l = jnp.minimum(jnp.maximum(x_idx + delta, 0.0), w - 1.0)
     src_r = jnp.minimum(jnp.maximum(x_idx - delta, 0.0), w - 1.0)
+    # per-tap weight is hat(|src - (x+k)|) = hat(|d - k|) with d hoisted out
+    # of the tap loop (saves one subtract per tap per eye)
+    d_l = src_l - x_idx
+    d_r = src_r - x_idx
 
     frame = frame_ref[:]  # [C, BH, W]
     depth = depth_ref[:]  # [BH, W]
@@ -66,9 +70,9 @@ def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
         return pltpu.bitcast(rolled, dt) if packed else rolled
 
     for k in range(-k0, k0 + 2):
-        tap = x_idx + k
-        wl = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_l - tap), 0.0), 1.0)
-        wr = jnp.minimum(jnp.maximum(1.0 - jnp.abs(src_r - tap), 0.0), 1.0)
+        # 1 - |d - k| <= 1 always, so only the lower clamp is needed
+        wl = jnp.maximum(1.0 - jnp.abs(d_l - k), 0.0)
+        wr = jnp.maximum(1.0 - jnp.abs(d_r - k), 0.0)
         wl = wl.astype(dt)
         wr = wr.astype(dt)
         # value at source column x + k == roll by -k along lanes
