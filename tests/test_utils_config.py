@@ -143,3 +143,12 @@ def test_scene_spans_as_dp_segments():
     assert spans == [(0, 30), (30, 60), (60, 90)]
     bounds = segment_bounds(90, 3, scene_cuts=[30, 60])
     assert bounds == [(0, 30), (30, 60), (60, 90)]
+
+
+def test_models_cli_listing(capsys):
+    from visiondepth3d_tpu.cli.main import main
+
+    assert main(["models"]) == 0
+    out = capsys.readouterr().out
+    assert "midas-v3-hybrid" in out and "dpt_hybrid" in out
+    assert "depth-anything-v2-small" in out and "518" in out

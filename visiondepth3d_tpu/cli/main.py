@@ -121,6 +121,20 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_models(args) -> int:
+    """The reference dropdown's catalog surface (load_supported_models,
+    render_depth.py:686-726) with recommended inference sizes."""
+    from ..depth.registry import CATALOG, inference_resolutions
+
+    for name, e in CATALOG.items():
+        if args.family and e.family != args.family:
+            continue
+        res = "/".join(str(r) for r in inference_resolutions(name))
+        covers = ", ".join(e.reference_names)
+        print(f"{name:32s} {e.family:12s} sizes {res:20s} [{covers}]")
+    return 0
+
+
 def cmd_depth(args) -> int:
     from ..pipeline.depth_pipeline import render_depth_video
 
@@ -217,6 +231,9 @@ def main(argv=None) -> int:
                     choices=["float32", "bfloat16"],
                     help="inference precision (bfloat16 ~ 20%% faster on TPU)")
 
+    mp = sub.add_parser("models", help="list the depth model catalog")
+    mp.add_argument("--family", default=None, help="filter by family")
+
     tp = sub.add_parser("tools", help="RIFE interpolation + Real-ESRGAN upscale")
     tp.add_argument("--input", required=True)
     tp.add_argument("--output", default=None)
@@ -257,6 +274,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
+    if args.cmd == "models":
+        return cmd_models(args)
     if args.cmd == "depth":
         return cmd_depth(args)
     if args.cmd == "tools":

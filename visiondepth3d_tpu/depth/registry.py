@@ -212,3 +212,26 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     raise NotImplementedError(
         f"{name}: family {entry.family} loads via its own module"
     )
+
+
+# Recommended inference sizes per family (INFERENCE_RESOLUTIONS,
+# render_depth.py:631-684): the reference keys these per dropdown model;
+# they reduce to the backbone's patch multiple and the checkpoint's
+# training size. First entry = the reference's default.
+_FAMILY_RESOLUTIONS = {
+    "dpt_dinov2": (518, 392, 266, 700, 924),   # /14 patch
+    "dpt_classic": (384, 256, 512),            # /16 patch
+    "dpt_beit": (512, 384, 256),
+    "dpt_hybrid": (384, 256, 512),
+    "zoedepth": (384, 512),
+    "zoedepth_nk": (384, 512),
+    "depth_pro": (1536, 768),
+    "diffusion": (576, 480, 768),
+    "vda": (518, 392),
+    "dpt_vit": (384, 256),
+}
+
+
+def inference_resolutions(name: str) -> tuple:
+    """Recommended square inference sizes for a catalog entry."""
+    return _FAMILY_RESOLUTIONS.get(CATALOG[name].family, (384,))
