@@ -134,7 +134,7 @@ def test_merged_pipeline_e2e(tmp_path):
             wr.write(f)
     cfg = EnhanceConfig(
         use_esrgan=False, use_rife=True, fps_multiplier=2, chunk_size=3,
-        rife_scales=(2, 1),
+        rife_scales=(2, 1), allow_random_weights=True,
     )
     n = run_merged_pipeline(src, dst, cfg)
     assert n == (t - 1) * 2 + 1  # 2x interpolation
@@ -142,3 +142,39 @@ def test_merged_pipeline_e2e(tmp_path):
         assert abs(rd.fps - 48.0) < 1e-3
         outs = list(rd)
     assert len(outs) == n
+
+
+def test_merged_pipeline_requires_weights(tmp_path):
+    from visiondepth3d_tpu.io import Y4MWriter
+
+    src = tmp_path / "in.y4m"
+    with Y4MWriter(src, 32, 32, 24.0) as wr:
+        wr.write(np.zeros((32, 32, 3), np.uint8))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="converted checkpoints"):
+        run_merged_pipeline(src, tmp_path / "out.y4m",
+                            EnhanceConfig(rife_scales=(2, 1)))
+
+
+def test_merged_pipeline_upscaled_output_size(tmp_path):
+    """keep_original_size=False: writer geometry must follow the ESRGAN
+    scale (reference merged_pipeline.py:240-267 resize-back is optional)."""
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.y4m"
+    t, h, w = 3, 24, 32
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            wr.write(np.full((h, w, 3), 40 * i + 20, np.uint8))
+    cfg = EnhanceConfig(
+        use_esrgan=True, esrgan_scale=2, esrgan_nf=8, esrgan_nb=1,
+        keep_original_size=False, use_rife=False, chunk_size=2,
+        allow_random_weights=True,
+    )
+    n = run_merged_pipeline(src, dst, cfg)
+    assert n == t
+    with Y4MReader(dst) as rd:
+        assert (rd.width, rd.height) == (w * 2, h * 2)
+        assert len(list(rd)) == t

@@ -148,17 +148,33 @@ def cmd_tools(args) -> int:
         use_esrgan=args.esrgan,
         esrgan_scale=args.esrgan_scale,
         pre_downscale=args.pre_downscale,
+        keep_original_size=not args.upscaled_size,
         blend_mode=args.blend,
         use_rife=args.rife,
         fps_multiplier=args.multiplier,
         chunk_size=args.chunk_size,
+        allow_random_weights=args.allow_random_weights,
     )
+    esrgan_params = rife_params = None
+    if args.esrgan_weights:
+        from ..depth.convert import load_safetensors_state
+        from .. import enhance as _enh
+
+        state = load_safetensors_state(args.esrgan_weights)
+        esrgan_params = _enh.convert_rrdbnet(state, nb=cfg.esrgan_nb)
+    if args.rife_weights:
+        from ..enhance.rife import load_rife_weights
+
+        rife_params = load_rife_weights(args.rife_weights,
+                                        scales=cfg.rife_scales)
     output = args.output or str(args.input).rsplit(".", 1)[0] + "_enhanced.y4m"
 
     def progress(n, fps):
         print(f"\r{n} frames | {fps:.2f} fps", end="", flush=True)
 
-    n = run_merged_pipeline(args.input, output, cfg, progress_cb=progress)
+    n = run_merged_pipeline(args.input, output, cfg,
+                            esrgan_params=esrgan_params,
+                            rife_params=rife_params, progress_cb=progress)
     print(f"\ndone: {n} frames -> {output}")
     return 0
 
@@ -245,6 +261,17 @@ def main(argv=None) -> int:
     tp.add_argument("--blend", default="OFF",
                     choices=["OFF", "LOW", "MEDIUM", "HIGH"])
     tp.add_argument("--chunk-size", type=int, default=4)
+    tp.add_argument("--esrgan-weights", default=None,
+                    help="Real-ESRGAN RRDBNet .safetensors checkpoint")
+    tp.add_argument("--rife-weights", default=None,
+                    help="RIFE IFNet checkpoint (.onnx export, .safetensors "
+                         "or torch .pth state dict)")
+    tp.add_argument("--upscaled-size", action="store_true",
+                    help="emit frames at the upscaled size instead of "
+                         "resizing back to the source size")
+    tp.add_argument("--allow-random-weights", action="store_true",
+                    help="run without checkpoints (shape/compile testing "
+                         "only; output is garbage)")
 
     au = sub.add_parser("audio", help="rip / attach audio tracks (ffmpeg)")
     asub = au.add_subparsers(dest="audio_cmd", required=True)

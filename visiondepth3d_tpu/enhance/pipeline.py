@@ -37,6 +37,10 @@ class EnhanceConfig:
     rife_scales: tuple = (4, 2, 1)
     codec: str = "libx264"
     chunk_size: int = 4
+    # Real renders need converted checkpoints (convert_rrdbnet /
+    # convert_rife); random weights produce garbage output, so they must be
+    # opted into explicitly (tests, shape checks, benchmarks).
+    allow_random_weights: bool = False
 
 
 def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
@@ -108,6 +112,15 @@ def run_merged_pipeline(
     """Video -> enhanced video. Overlapping chunks keep RIFE pair context:
     each chunk shares its first frame with the previous chunk's last."""
     cfg = cfg or EnhanceConfig()
+    missing = (cfg.use_esrgan and esrgan_params is None) or (
+        cfg.use_rife and rife_params is None
+    )
+    if missing and not cfg.allow_random_weights:
+        raise ValueError(
+            "enhance models need converted checkpoints (convert_rrdbnet / "
+            "convert_rife); pass allow_random_weights=True only for "
+            "shape/compile testing — random weights produce garbage frames"
+        )
     rd = open_video(input_path)
     if esrgan_params is None or rife_params is None:
         ep, rp = init_enhance_params(cfg)
@@ -116,7 +129,16 @@ def run_merged_pipeline(
     fn = make_enhance_fn(cfg, esrgan_params, rife_params, (rd.height, rd.width))
 
     out_fps = rd.fps * (cfg.fps_multiplier if cfg.use_rife else 1)
-    wr = open_writer(output_path, rd.width, rd.height, out_fps, cfg.codec)
+    # Output geometry must match what the jitted fn emits: with
+    # keep_original_size=False the ESRGAN branch produces
+    # int(dim * pre_downscale) * scale frames (reference resizes back to
+    # source size only when asked, merged_pipeline.py:240-267).
+    if cfg.use_esrgan and not cfg.keep_original_size:
+        out_w = int(rd.width * cfg.pre_downscale) * cfg.esrgan_scale
+        out_h = int(rd.height * cfg.pre_downscale) * cfg.esrgan_scale
+    else:
+        out_w, out_h = rd.width, rd.height
+    wr = open_writer(output_path, out_w, out_h, out_fps, cfg.codec)
 
     n_out = 0
     t0 = time.time()
