@@ -1,0 +1,88 @@
+"""Depth pipeline routes: streaming diffusion (bounded memory), VDA
+windowed video, and the checkpoint requirements."""
+
+import numpy as np
+import pytest
+
+from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+from visiondepth3d_tpu.pipeline.depth_pipeline import (
+    DepthConfig,
+    render_depth_video_file,
+)
+
+
+def _write_clip(path, t=10, h=32, w=48):
+    with Y4MWriter(path, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f = ((xx * 2 + yy + i * 7) % 256).astype(np.uint8)
+            wr.write(np.repeat(f[..., None], 3, -1))
+    return path
+
+
+def test_diffusion_requires_checkpoint(tmp_path):
+    src = _write_clip(tmp_path / "in.y4m")
+    with pytest.raises(ValueError, match="checkpoint"):
+        render_depth_video_file(src, tmp_path / "d.y4m",
+                                DepthConfig(model="marigold"))
+
+
+def test_marigold_streaming_route(tmp_path):
+    src = _write_clip(tmp_path / "in.y4m", t=7)
+    cfg = DepthConfig(model="marigold", batch_size=3, steps=1,
+                      allow_random=True)
+    n = render_depth_video_file(src, tmp_path / "d.y4m", cfg)
+    assert n == 7
+    with Y4MReader(tmp_path / "d.y4m") as rd:
+        frames = list(rd)
+    assert len(frames) == 7
+    assert frames[0].shape == (32, 48, 3)  # already /8-aligned
+
+
+def test_depthcrafter_segment_streaming(tmp_path):
+    """Multiple segments must stream through run_raw and stitch; the spill
+    file must be cleaned up; frame count preserved (stride 1 at 24 fps
+    target)."""
+    src = _write_clip(tmp_path / "in.y4m", t=14)
+    cfg = DepthConfig(model="depthcrafter", steps=1, window_size=4,
+                      overlap=2, max_segment_frames=6, target_fps=24.0,
+                      allow_random=True, bits=16)
+    out = tmp_path / "d.vd16"
+    n = render_depth_video_file(src, out, cfg)
+    assert n == 14
+    assert not (tmp_path / "d.vd16.raw16.tmp").exists()
+    from visiondepth3d_tpu.io.depth_io import open_depth_reader
+
+    dd = open_depth_reader(out)
+    d0 = dd.read()
+    assert d0.shape == (32, 48)
+    count = 1
+    while dd.read() is not None:
+        count += 1
+    assert count == 14
+
+
+def test_depthcrafter_strides_to_target_fps(tmp_path):
+    src = _write_clip(tmp_path / "in.y4m", t=12)
+    cfg = DepthConfig(model="depthcrafter", steps=1, window_size=4,
+                      overlap=2, target_fps=12.0, allow_random=True)
+    n = render_depth_video_file(src, tmp_path / "d.y4m", cfg)
+    assert n == 6  # 24 fps -> 12 fps stride 2
+    with Y4MReader(tmp_path / "d.y4m") as rd:
+        assert abs(rd.fps - 12.0) < 1e-3
+
+
+def test_vda_windowed_route(tmp_path):
+    from visiondepth3d_tpu.depth.vda import VDA_TINY
+
+    src = _write_clip(tmp_path / "in.y4m", t=9, h=32, w=48)
+    from visiondepth3d_tpu.depth.registry import load_predictor
+
+    pred = load_predictor("video-depth-anything", inference_size=70,
+                          config=VDA_TINY)
+    cfg = DepthConfig(model="video-depth-anything", inference_size=70)
+    n = render_depth_video_file(src, tmp_path / "d.y4m", cfg, predictor=pred)
+    assert n == 9
+    with Y4MReader(tmp_path / "d.y4m") as rd:
+        frames = list(rd)
+    assert len(frames) == 9 and frames[0].shape == (32, 48, 3)

@@ -161,7 +161,8 @@ def test_depth_video_pipeline_diffusion_routes(tmp_path):
     _write_clip(clip, t=6, h=48, w=64)
     for model in ("marigold", "depthcrafter"):
         cfg = DepthConfig(model=model, batch_size=2, bits=8, steps=1,
-                          window_size=4, overlap=2, target_fps=100.0)
+                          window_size=4, overlap=2, target_fps=100.0,
+                          allow_random=True)
         out = tmp_path / f"depth_{model}.y4m"
         n = render_depth_video_file(clip, out, cfg)
         assert n == 6, model

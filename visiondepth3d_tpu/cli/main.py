@@ -246,6 +246,22 @@ def main(argv=None) -> int:
     dp.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="inference precision (bfloat16 ~ 20%% faster on TPU)")
+    dp.add_argument("--checkpoint", default=None,
+                    help="converted .safetensors (feed-forward families) or "
+                         "checkpoint directory (diffusion)")
+    dp.add_argument("--steps", type=int, default=2,
+                    help="diffusion denoise steps")
+    dp.add_argument("--window", type=int, default=24,
+                    help="DepthCrafter sliding-window size")
+    dp.add_argument("--overlap", type=int, default=6)
+    dp.add_argument("--target-fps", type=float, default=15.0,
+                    help="stride long clips down to this rate (DepthCrafter)")
+    dp.add_argument("--track-letterbox", action="store_true",
+                    help="detect/crop black bars and reinsert them in the "
+                         "output depth")
+    dp.add_argument("--allow-random-weights", action="store_true",
+                    help="run without a checkpoint (shape/compile testing "
+                         "only; diffusion output is noise)")
 
     mp = sub.add_parser("models", help="list the depth model catalog")
     mp.add_argument("--family", default=None, help="filter by family")

@@ -209,3 +209,165 @@ def convert_unet2d(state: dict, cfg) -> dict:
 
 def _ln(g, prefix):
     return {"scale": g[f"{prefix}.weight"], "bias": g[f"{prefix}.bias"]}
+
+
+def _scalar(v):
+    return np.asarray(v, np.float32).reshape(())
+
+
+def _temporal_resnet(g, prefix):
+    """diffusers TemporalResnetBlock (Conv3d k=(3,1,1)) -> our (3,) convs."""
+
+    def tconv(p):
+        w = g[f"{p}.weight"]  # [O, I, 3, 1, 1]
+        return {"kernel": w[:, :, :, 0, 0].transpose(2, 1, 0),
+                "bias": g[f"{p}.bias"]}
+
+    out = {
+        "norm1": _gn(g, f"{prefix}.norm1"),
+        "conv1": tconv(f"{prefix}.conv1"),
+        "norm2": _gn(g, f"{prefix}.norm2"),
+        "conv2": tconv(f"{prefix}.conv2"),
+    }
+    if f"{prefix}.time_emb_proj.weight" in g:
+        out["time_emb"] = _lin(g, f"{prefix}.time_emb_proj")
+    if f"{prefix}.conv_shortcut.weight" in g:
+        w = g[f"{prefix}.conv_shortcut.weight"]
+        out["shortcut"] = {"kernel": w.reshape(w.shape[0], w.shape[1]).T,
+                           "bias": g[f"{prefix}.conv_shortcut.bias"]}
+    return out
+
+
+def _st_resnet(g, prefix):
+    """SVD SpatioTemporalResBlock -> our STResnet (spatial/temporal/mix)."""
+    return {
+        "spatial": _resnet(g, f"{prefix}.spatial_res_block"),
+        "temporal": _temporal_resnet(g, f"{prefix}.temporal_res_block"),
+        "mix": {"mix_factor": _scalar(g[f"{prefix}.time_mixer.mix_factor"])},
+    }
+
+
+def _tlayer(g, prefix):
+    """One diffusers BasicTransformerBlock -> our TransformerLayer."""
+
+    def xattn(p):
+        return {
+            "to_q": _lin(g, f"{p}.to_q", bias=False),
+            "to_k": _lin(g, f"{p}.to_k", bias=False),
+            "to_v": _lin(g, f"{p}.to_v", bias=False),
+            "to_out": _lin(g, f"{p}.to_out.0"),
+        }
+
+    return {
+        "norm1": _ln(g, f"{prefix}.norm1"),
+        "norm2": _ln(g, f"{prefix}.norm2"),
+        "norm3": _ln(g, f"{prefix}.norm3"),
+        "attn1": xattn(f"{prefix}.attn1"),
+        "attn2": xattn(f"{prefix}.attn2"),
+        "ff_geglu": {"proj": _lin(g, f"{prefix}.ff.net.0.proj")},
+        "ff_out": _lin(g, f"{prefix}.ff.net.2"),
+    }
+
+
+def _st_transformer(g, prefix):
+    """SVD TransformerSpatioTemporalModel -> our STTransformer.
+
+    Mapped 1:1: norm, proj_in/out, the spatial transformer block, the
+    temporal block's shared sublayers, and the alpha mixer. Dropped (no
+    counterpart in our temporal design, see unet_st.py docstring): the
+    temporal block's norm_in/ff_in pre-mix and time_pos_embed.
+    """
+    return {
+        "norm": _gn(g, f"{prefix}.norm"),
+        "proj_in": _lin(g, f"{prefix}.proj_in"),
+        "spatial": _tlayer(g, f"{prefix}.transformer_blocks.0"),
+        "temporal": _tlayer(g, f"{prefix}.temporal_transformer_blocks.0"),
+        "mix": {"mix_factor": _scalar(g[f"{prefix}.time_mixer.mix_factor"])},
+        "proj_out": _lin(g, f"{prefix}.proj_out"),
+    }
+
+
+def convert_unet_st(state: dict, cfg) -> dict:
+    """diffusers UNetSpatioTemporalConditionModel (SVD / DepthCrafter,
+    the safetensors the reference loads in depthcrafter_adapter.py:22-24)
+    -> depth.diffusion.unet_st params.
+
+    Dropped from the checkpoint (documented remainder): add_embedding /
+    add_time_proj (fps+motion conditioning — DepthCrafter's custom forward
+    passes zeros, core/unet.py), and the temporal blocks' norm_in/ff_in.
+    """
+    g = {k: _t(v) for k, v in state.items()}
+    p: dict = {
+        "conv_in": _conv(g, "conv_in"),
+        "time_fc1": _lin(g, "time_embedding.linear_1"),
+        "time_fc2": _lin(g, "time_embedding.linear_2"),
+        "norm_out": _gn(g, "conv_norm_out"),
+        "conv_out": _conv(g, "conv_out"),
+    }
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            p[f"down{i}_res{j}"] = _st_resnet(g, f"down_blocks.{i}.resnets.{j}")
+            if cfg.with_attn[i]:
+                p[f"down{i}_attn{j}"] = _st_transformer(
+                    g, f"down_blocks.{i}.attentions.{j}"
+                )
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in g:
+            p[f"down{i}_downsample"] = _conv(
+                g, f"down_blocks.{i}.downsamplers.0.conv"
+            )
+    p["mid_res1"] = _st_resnet(g, "mid_block.resnets.0")
+    p["mid_res2"] = _st_resnet(g, "mid_block.resnets.1")
+    p["mid_attn"] = _st_transformer(g, "mid_block.attentions.0")
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up{i}_res{j}"] = _st_resnet(g, f"up_blocks.{i}.resnets.{j}")
+            bi = n - 1 - i
+            if cfg.with_attn[bi]:
+                p[f"up{i}_attn{j}"] = _st_transformer(
+                    g, f"up_blocks.{i}.attentions.{j}"
+                )
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in g:
+            p[f"up{i}_upsample"] = _conv(g, f"up_blocks.{i}.upsamplers.0.conv")
+    return p
+
+
+def convert_clip_vision(state: dict, cfg) -> dict:
+    """transformers CLIPVisionModelWithProjection (the laion ViT-H image
+    encoder, depthcrafter_adapter.py:33-36) -> depth.diffusion.clip_vision
+    params. ("pre_layrnorm" is the actual HF key.)"""
+    g = {k: _t(v) for k, v in state.items()}
+    emb = "vision_model.embeddings"
+    pe = g[f"{emb}.patch_embedding.weight"]  # [C, 3, p, p], no bias
+    patch = pe.shape[-1]
+    hid = pe.shape[0]
+    p: dict = {
+        "class_embed": g[f"{emb}.class_embedding"].reshape(1, 1, hid),
+        "pos_embed": g[f"{emb}.position_embedding.weight"][None],
+        "patch_embed": {
+            "kernel": pe.transpose(2, 3, 1, 0).reshape(patch * patch * 3, hid)
+        },
+        "pre_ln": _ln(g, "vision_model.pre_layrnorm"),
+        "post_ln": _ln(g, "vision_model.post_layernorm"),
+        "proj": {"kernel": g["visual_projection.weight"].T},
+    }
+    for i in range(cfg.num_layers):
+        pre = f"vision_model.encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [g[f"{pre}.self_attn.{x}_proj.weight"].T for x in ("q", "k", "v")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [g[f"{pre}.self_attn.{x}_proj.bias"] for x in ("q", "k", "v")]
+        )
+        p[f"block{i}"] = {
+            "norm1": _ln(g, f"{pre}.layer_norm1"),
+            "norm2": _ln(g, f"{pre}.layer_norm2"),
+            "attn": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "proj": _lin(g, f"{pre}.self_attn.out_proj"),
+            },
+            "mlp": {"fc1": _lin(g, f"{pre}.mlp.fc1"),
+                    "fc2": _lin(g, f"{pre}.mlp.fc2")},
+        }
+    return p

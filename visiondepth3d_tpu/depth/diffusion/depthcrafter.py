@@ -161,7 +161,18 @@ class DepthCrafterPipeline:
         return np.asarray(jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1))
 
     def __call__(self, frames01: np.ndarray, seed: int = 0) -> np.ndarray:
-        """frames01: [T, H, W, 3] in [0, 1] -> [T, H, W] depth in [0, 1]."""
+        """frames01: [T, H, W, 3] in [0, 1] -> [T, H, W] depth in [0, 1]
+        (whole-clip min-max normalized, save_depthcrafter_outputs
+        semantics, render_depth.py:1161-1184)."""
+        depth = self.run_raw(frames01, seed)
+        lo, hi = jnp.min(depth), jnp.max(depth)
+        return np.asarray(
+            jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1)
+        )
+
+    def run_raw(self, frames01: np.ndarray, seed: int = 0) -> jnp.ndarray:
+        """Sliding-window denoise, UNNORMALIZED [T, H, W] depth — the
+        streaming route normalizes globally after stitching segments."""
         frames01 = jnp.asarray(frames01, jnp.float32)
         t, h, w = frames01.shape[:3]
         key = jax.random.PRNGKey(seed)
@@ -216,9 +227,7 @@ class DepthCrafterPipeline:
             weights = weights.at[start : start + tw].add(wgt)
 
         out_latents = out_latents / jnp.maximum(weights, 1e-8)
-        depth = self._decode(self.vae_params, out_latents)  # [T, H, W]
-        lo, hi = jnp.min(depth), jnp.max(depth)
-        return np.asarray(jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1))
+        return self._decode(self.vae_params, out_latents)  # [T, H, W]
 
 
 def tiny_depthcrafter(seed: int = 0, steps: int = 2, window: int = 6,

@@ -42,19 +42,35 @@ class DepthPredictor:
     inference_size: int = 518
     dtype: str = "float32"
     model: object = None
+    # per-model preprocessing: DA/DPT families use ImageNet stats; ZoeDepth
+    # and DepthPro use the HF "standard" 0.5/0.5 stats (their processors'
+    # IMAGENET_STANDARD_MEAN/STD defaults).
+    mean: tuple = IMAGENET_MEAN
+    std: tuple = IMAGENET_STD
+    # models returning tuples (ZoeDepthNK -> (depth, domain_logits),
+    # DepthPro -> (depth, fov)): index of the depth output
+    select: int | None = None
+    # override the inference-size snap (families whose valid sizes aren't
+    # "multiple of the patch", e.g. DepthPro's power-of-two pyramid)
+    snap_multiple: int | None = None
 
     def __post_init__(self):
         if self.model is None:
             self.model = DepthAnything(self.cfg)
-        patch = self.cfg.backbone.patch_size
+        patch = self.snap_multiple
+        if patch is None:
+            bb = getattr(self.cfg, "backbone", None)
+            if bb is None:  # ZoeDepthNKConfig nests its trunk under .base
+                bb = getattr(getattr(self.cfg, "base", None), "backbone", None)
+            patch = bb.patch_size
         self._size = snap(self.inference_size, patch)
 
         @jax.jit
         def forward(params, frames01):  # [B, H, W, 3] in [0, 1]
             x = resize_bilinear(frames01, (self._size, self._size),
                                 channel_last=True)
-            mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
-            std = jnp.asarray(IMAGENET_STD, x.dtype)
+            mean = jnp.asarray(self.mean, x.dtype)
+            std = jnp.asarray(self.std, x.dtype)
             x = (x - mean) / std
             if self.dtype == "bfloat16":
                 x = x.astype(jnp.bfloat16)
@@ -62,6 +78,8 @@ class DepthPredictor:
             else:
                 params_c = params
             depth = self.model.apply({"params": params_c}, x)
+            if self.select is not None:
+                depth = depth[self.select]
             return depth.astype(jnp.float32)  # [B, s, s] raw relative depth
 
         self._forward = forward

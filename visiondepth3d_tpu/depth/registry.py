@@ -130,26 +130,48 @@ from .dpt_hybrid import DPT_HYBRID as _DPT_HYBRID
 
 _add(ModelEntry("midas-v3-hybrid", "dpt_hybrid", _DPT_HYBRID,
                 "Intel/dpt-hybrid-midas", ("DPT-Hybrid (MiDaS 3.0)",)))
-# remaining port (qualcomm ONNX distribution) tracked in COVERAGE.md
-_add(ModelEntry("midas-v2", "dpt_vit", None, "qualcomm/Midas-V2",
-                ("midas-v2",)))
+from .midas_v2 import MIDAS_V2_SMALL as _MIDAS_V2_SMALL
+
+_add(ModelEntry("midas-v2", "dpt_vit", _MIDAS_V2_SMALL, "qualcomm/Midas-V2",
+                ("Midas-V2",)))
+
+
+STANDARD_MEAN = (0.5, 0.5, 0.5)  # HF IMAGENET_STANDARD (ZoeDepth, DepthPro)
+STANDARD_STD = (0.5, 0.5, 0.5)
 
 
 def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
-                   seed: int = 0, dtype: str = "float32"):
-    """Instantiate a DepthPredictor for a catalog entry.
+                   seed: int = 0, dtype: str = "float32", config=None,
+                   **family_kw):
+    """Instantiate a predictor for a catalog entry — the uniform dispatcher
+    (ensure_model_downloaded analog, render_depth.py:728-829): every
+    non-diffusion family returns a DepthPredictor-contract object
+    ([B, H, W, 3] float01 -> [B, s, s] raw depth; VDA is windowed video),
+    diffusion entries return the pipeline objects.
 
-    checkpoint: path to a .safetensors file (converted on load) or a ready
-    params pytree; None random-initializes (shape/compile testing).
+    checkpoint: path to a .safetensors file (converted on load), a ready
+    params pytree, or for diffusion a checkpoint directory; None
+    random-initializes (shape/compile testing only).
+    config: override the catalog config (tiny configs in tests).
     """
     from .convert import convert_depth_anything, load_safetensors_state
     from .model import DepthPredictor, init_random
 
-    entry = CATALOG[name]
-    cfg = entry.config
+    if name.startswith("local:"):
+        root = name[len("local:"):]
+        entry = resolve_local_model(root)
+        if checkpoint is None:
+            checkpoint = load_local_params(root)
+    else:
+        entry = CATALOG[name]
+    cfg = config if config is not None else entry.config
     if entry.family == "dpt_dinov2":
         if checkpoint is None:
-            params = init_random(cfg, seed, size=inference_size)
+            from .model import snap
+
+            params = init_random(
+                cfg, seed, size=snap(inference_size, cfg.backbone.patch_size)
+            )
         elif isinstance(checkpoint, dict):
             params = checkpoint
         else:
@@ -209,9 +231,174 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         else:
             params = convert_dpt_classic(load_safetensors_state(checkpoint), cfg)
         return DepthPredictor(cfg, params, inference_size, dtype=dtype, model=model)
+    if entry.family in ("zoedepth", "zoedepth_nk"):
+        import jax
+        import jax.numpy as jnp
+
+        from .zoedepth import (
+            ZoeDepth,
+            ZoeDepthNK,
+            convert_zoedepth,
+            convert_zoedepth_nk,
+        )
+
+        nk = entry.family == "zoedepth_nk"
+        model = ZoeDepthNK(cfg) if nk else ZoeDepth(cfg)
+        patch = (cfg.base if nk else cfg).backbone.patch_size
+        if checkpoint is None:
+            s = max(patch, inference_size - inference_size % patch)
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            convert = convert_zoedepth_nk if nk else convert_zoedepth
+            params = convert(load_safetensors_state(checkpoint), cfg)
+        return DepthPredictor(
+            cfg, params, inference_size, dtype=dtype, model=model,
+            mean=STANDARD_MEAN, std=STANDARD_STD,
+            select=0 if nk else None,
+        )
+    if entry.family == "depth_pro":
+        import math
+
+        import jax
+        import jax.numpy as jnp
+
+        from .depth_pro import DepthPro, convert_depth_pro
+
+        model = DepthPro(cfg)
+        # valid input sizes are image_size * 2^k (the multi-scale pyramid
+        # halves down to the patch encoder's native window)
+        base = cfg.image_model.image_size
+        k = max(0, round(math.log2(max(inference_size, base) / base)))
+        s = base * 2**k
+        if checkpoint is None:
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_depth_pro(load_safetensors_state(checkpoint), cfg)
+        return DepthPredictor(
+            cfg, params, s, dtype=dtype, model=model,
+            mean=STANDARD_MEAN, std=STANDARD_STD, select=0, snap_multiple=s,
+        )
+    if entry.family == "vda":
+        import jax
+        import jax.numpy as jnp
+
+        from .vda import VDAPredictor, VideoDepthAnything, convert_vda
+
+        model = VideoDepthAnything(cfg)
+        if checkpoint is None:
+            patch = cfg.base.backbone.patch_size
+            s = max(patch, inference_size - inference_size % patch)
+            params = model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, cfg.window, s, s, 3), jnp.float32),
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_vda(checkpoint, cfg)
+        return VDAPredictor(cfg, params)
+    if entry.family == "dpt_vit":  # midas-v2 (MidasNet-small)
+        import jax
+        import jax.numpy as jnp
+
+        from .midas_v2 import MidasNetSmall, convert_midas_small
+
+        model = MidasNetSmall(cfg)
+        if checkpoint is None:
+            s = max(32, inference_size - inference_size % 32)
+            params = model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )["params"]
+        elif isinstance(checkpoint, dict):
+            params = checkpoint
+        else:
+            params = convert_midas_small(checkpoint, cfg)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype,
+                              model=model, snap_multiple=32)
+    if entry.family == "diffusion":
+        from .diffusion import load_diffusion_pipeline
+
+        return load_diffusion_pipeline(name, checkpoint, **family_kw)
     raise NotImplementedError(
         f"{name}: family {entry.family} loads via its own module"
     )
+
+
+def resolve_local_model(path: str) -> ModelEntry:
+    """[Local] folder discovery analog (render_depth.py:686-726): a local
+    directory is loadable when it carries a converted .safetensors plus a
+    vd3d.json naming the catalog family whose architecture it holds."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "vd3d.json")
+    if not os.path.isdir(path) or not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"local model dir {path!r} needs a vd3d.json "
+            "({'family': ..., 'base': <catalog name>})"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    base = CATALOG[meta["base"]]
+    return dataclasses.replace(base, name=f"local:{path}")
+
+
+def load_local_params(root: str):
+    """Load a local folder's weights. ``format`` in vd3d.json:
+    "native" (default): flat "a/b/c"-keyed safetensors of our params tree;
+    "hf": upstream-named safetensors, returned as a path for the family
+    converter."""
+    import json
+    import os
+
+    with open(os.path.join(root, "vd3d.json")) as f:
+        meta = json.load(f)
+    path = None
+    for fn in ("model.safetensors", "diffusion_pytorch_model.safetensors"):
+        p = os.path.join(root, fn)
+        if os.path.exists(p):
+            path = p
+            break
+    if path is None:
+        raise FileNotFoundError(f"{root}: no .safetensors weights found")
+    if meta.get("format", "native") != "native":
+        return path  # family converter handles upstream naming
+    from .convert import load_safetensors_state
+
+    flat = load_safetensors_state(path)
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def discover_local_models(root: str) -> dict[str, ModelEntry]:
+    """Scan a weights dir for loadable local model folders (the reference's
+    auto-added "[Local] {folder}" entries)."""
+    import os
+
+    found = {}
+    if not os.path.isdir(root):
+        return found
+    for folder in sorted(os.listdir(root)):
+        p = os.path.join(root, folder)
+        try:
+            found[f"[Local] {folder}"] = resolve_local_model(p)
+        except (FileNotFoundError, KeyError):
+            continue
+    return found
 
 
 # Recommended inference sizes per family (INFERENCE_RESOLUTIONS,

@@ -166,3 +166,156 @@ def _align_scale_shift(pred: np.ndarray, ref: np.ndarray):
     a = (n * spr - sp * sr) / det
     b = (sr - a * sp) / n
     return float(a), float(b)
+
+
+def convert_vda(source, cfg: VDAConfig) -> dict:
+    """Upstream Video-Depth-Anything checkpoint -> our params tree.
+
+    ``source``: a state dict (torch tensors or numpy), a .pth/.safetensors
+    path, or the ONNX export's initializer table (torch exports keep the
+    parameter names). Upstream naming (depth-anything/Video-Depth-Anything):
+    ``pretrained.*`` = original-DINOv2 backbone (fused qkv), ``head.*`` =
+    DPT head (projects/resize_layers/scratch/refinenets) which maps 1:1
+    onto our backbone + neck_head trees.
+
+    Temporal modules: upstream places AnimateDiff-style motion modules on
+    the head's feature maps; our TPU design attends over backbone tokens
+    (vda.py:54). Where an upstream attention block's shapes line up with
+    ours it is mapped; otherwise the temporal blocks are initialized to
+    IDENTITY (zero output projection), which makes the converted model
+    exactly the per-frame Depth Anything defined by the converted spatial
+    weights — valid depth, no temporal refinement — rather than noise.
+    """
+    if isinstance(source, (str,)) or hasattr(source, "__fspath__"):
+        p = str(source)
+        if p.endswith(".onnx"):
+            from ..utils.onnx_reader import read_onnx_initializers
+
+            source = read_onnx_initializers(p)
+        elif p.endswith(".safetensors"):
+            from .convert import load_safetensors_state
+
+            source = load_safetensors_state(p)
+        else:
+            import torch
+
+            raw = torch.load(p, map_location="cpu", weights_only=True)
+            source = raw.get("model", raw) if isinstance(raw, dict) else raw
+    g = {k: np.asarray(v, dtype=np.float32) for k, v in source.items()}
+
+    bb_cfg = cfg.base.backbone
+    hid = bb_cfg.hidden_size
+    patch = bb_cfg.patch_size
+
+    def lin(prefix):
+        return {"kernel": g[f"{prefix}.weight"].T, "bias": g[f"{prefix}.bias"]}
+
+    def conv(prefix, bias=True):
+        out = {"kernel": g[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = g[f"{prefix}.bias"]
+        return out
+
+    def dense_from_1x1(prefix):
+        return {"kernel": g[f"{prefix}.weight"][:, :, 0, 0].T,
+                "bias": g[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": g[f"{prefix}.weight"], "bias": g[f"{prefix}.bias"]}
+
+    pe_w = g["pretrained.patch_embed.proj.weight"]  # [C, 3, p, p]
+    backbone = {
+        "cls_token": g["pretrained.cls_token"],
+        "pos_embed": g["pretrained.pos_embed"],
+        "patch_embed": {"proj": {
+            "kernel": pe_w.transpose(2, 3, 1, 0).reshape(patch * patch * 3, hid),
+            "bias": g["pretrained.patch_embed.proj.bias"],
+        }},
+        "norm": ln("pretrained.norm"),
+    }
+    for i in range(bb_cfg.num_layers):
+        pre = f"pretrained.blocks.{i}"
+        block = {
+            "norm1": ln(f"{pre}.norm1"),
+            "norm2": ln(f"{pre}.norm2"),
+            "attn": {
+                "qkv": {"kernel": g[f"{pre}.attn.qkv.weight"].T,
+                        "bias": g[f"{pre}.attn.qkv.bias"]},
+                "proj": lin(f"{pre}.attn.proj"),
+            },
+            "mlp": {"fc1": lin(f"{pre}.mlp.fc1"), "fc2": lin(f"{pre}.mlp.fc2")},
+        }
+        if bb_cfg.layerscale:
+            block["ls1"] = g[f"{pre}.ls1.gamma"]
+            block["ls2"] = g[f"{pre}.ls2.gamma"]
+        backbone[f"block{i}"] = block
+
+    dpt = cfg.base
+    nh: dict = {}
+    for i, factor in enumerate(dpt.reassemble_factors):
+        layer = {"projection": dense_from_1x1(f"head.projects.{i}")}
+        if factor > 1:
+            w = g[f"head.resize_layers.{i}.weight"]  # ConvTranspose (I,O,f,f)
+            layer["resize"] = {"kernel": w.transpose(0, 2, 3, 1),
+                               "bias": g[f"head.resize_layers.{i}.bias"]}
+        elif factor < 1:
+            layer["resize"] = conv(f"head.resize_layers.{i}")
+        nh[f"reassemble{i}"] = layer
+    for i in range(len(dpt.neck_hidden_sizes)):
+        nh[f"scratch{i}"] = conv(f"head.scratch.layer{i + 1}_rn", bias=False)
+    n_fuse = len(dpt.neck_hidden_sizes)
+    for idx in range(n_fuse):  # fusion0 = deepest = refinenet{n}
+        pre = f"head.scratch.refinenet{n_fuse - idx}"
+        fusion = {
+            "projection": dense_from_1x1(f"{pre}.out_conv"),
+            "res2": {"conv1": conv(f"{pre}.resConfUnit2.conv1"),
+                     "conv2": conv(f"{pre}.resConfUnit2.conv2")},
+        }
+        if idx > 0:  # the deepest fusion has no skip; its resConfUnit1 is
+            # present-but-unused in upstream checkpoints
+            fusion["res1"] = {"conv1": conv(f"{pre}.resConfUnit1.conv1"),
+                              "conv2": conv(f"{pre}.resConfUnit1.conv2")}
+        nh[f"fusion{idx}"] = fusion
+    nh["head_conv1"] = conv("head.scratch.output_conv1")
+    nh["head_conv2"] = conv("head.scratch.output_conv2.0")
+    nh["head_conv3"] = dense_from_1x1("head.scratch.output_conv2.2")
+
+    params = {"backbone": backbone, "neck_head": nh}
+
+    heads = cfg.temporal_heads
+    hd = max(hid // heads, 1)
+    rng = np.random.default_rng(0)
+    for i in range(len(dpt.out_indices)):
+        mapped = None
+        for cand in (
+            f"head.motion_modules.{i}.temporal_transformer.transformer_blocks.0.attention_blocks.0",
+            f"head.motion_modules.{i}.attention_blocks.0",
+        ):
+            if (f"{cand}.to_q.weight" in g
+                    and g[f"{cand}.to_q.weight"].shape[1] == hid):
+                mapped = {
+                    "norm": ln(cand.rsplit(".", 1)[0] + ".norms.0"),
+                    "q": lin(f"{cand}.to_q"),
+                    "k": lin(f"{cand}.to_k"),
+                    "v": lin(f"{cand}.to_v"),
+                    "proj": lin(f"{cand}.to_out.0"),
+                }
+                break
+        if mapped is None:  # identity temporal block (see docstring)
+            mapped = {
+                "norm": {"scale": np.ones(hid, np.float32),
+                         "bias": np.zeros(hid, np.float32)},
+                "q": {"kernel": rng.normal(0, hid ** -0.5, (hid, heads * hd))
+                      .astype(np.float32),
+                      "bias": np.zeros(heads * hd, np.float32)},
+                "k": {"kernel": rng.normal(0, hid ** -0.5, (hid, heads * hd))
+                      .astype(np.float32),
+                      "bias": np.zeros(heads * hd, np.float32)},
+                "v": {"kernel": rng.normal(0, hid ** -0.5, (hid, heads * hd))
+                      .astype(np.float32),
+                      "bias": np.zeros(heads * hd, np.float32)},
+                "proj": {"kernel": np.zeros((heads * hd, hid), np.float32),
+                         "bias": np.zeros(hid, np.float32)},
+            }
+        params[f"temporal{i}"] = mapped
+    return params

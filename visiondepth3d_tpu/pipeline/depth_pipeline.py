@@ -49,6 +49,9 @@ class DepthConfig:
     window_size: int = 24
     overlap: int = 6
     steps: int = 2
+    max_segment_frames: int = 96  # host-RAM bound for diffusion streaming
+    # random weights produce noise; tests/benchmarks opt in explicitly
+    allow_random: bool = False
 
 
 def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int]):
@@ -86,7 +89,17 @@ def render_depth_video_file(
     if entry is not None and entry.family == "diffusion":
         return _render_depth_diffusion(input_path, output_path, cfg,
                                        progress_cb, predictor)
+    if entry is not None and entry.family == "vda":
+        return _render_depth_vda(input_path, output_path, cfg,
+                                 progress_cb, predictor)
     rd = open_video(input_path)
+    if predictor is None and cfg.checkpoint is None:
+        import warnings
+
+        warnings.warn(
+            f"{cfg.model}: no --checkpoint given, running RANDOM weights — "
+            "output is not real depth (compile/shape testing only)"
+        )
     pred = predictor or load_predictor(
         cfg.model, cfg.checkpoint, cfg.inference_size, dtype=cfg.dtype
     )
@@ -171,75 +184,256 @@ def render_depth_video_file(
     return n_done
 
 
+def _render_depth_vda(input_path, output_path, cfg: DepthConfig,
+                      progress_cb=None, predictor=None) -> int:
+    """Video Depth Anything: windowed video inference (the reference's
+    rank-5 ONNX route, render_depth.py:892-900) streamed in window-sized
+    chunks. Consecutive chunks share ``overlap`` frames; each chunk is
+    scale/shift-aligned to the previous on the overlap (VDA's own
+    inference recipe), and normalization uses a running percentile EMA so
+    the temporal stability the model buys isn't destroyed by per-frame
+    rescaling."""
+    import jax.numpy as jnp  # noqa: F811 (module-level import exists)
+
+    from ..depth.model import snap
+    from ..depth.vda import _align_scale_shift
+
+    rd = open_video(input_path)
+    pred = predictor or load_predictor(cfg.model, cfg.checkpoint,
+                                       cfg.inference_size)
+    win, ov = pred.cfg.window, max(1, pred.cfg.overlap)
+    patch = pred.cfg.base.backbone.patch_size
+    s = snap(cfg.inference_size, patch)
+    out_hw = (rd.height, rd.width)
+    wr, write = _open_depth_writer(output_path, rd.width, rd.height,
+                                   rd.fps, cfg)
+    n = 0
+    t0 = time.time()
+    ema_lo = ema_hi = None
+    prev_tail = None
+    carry: list = []
+
+    def emit(depth_raw):
+        nonlocal n, ema_lo, ema_hi
+        d = jnp.asarray(depth_raw)
+        d = resize_bilinear(d, out_hw, channel_last=False)
+        d = np.asarray(d)
+        lo = np.percentile(d, cfg.percentile_lo)
+        hi = np.percentile(d, cfg.percentile_hi)
+        ema_lo = lo if ema_lo is None else 0.9 * ema_lo + 0.1 * lo
+        ema_hi = hi if ema_hi is None else 0.9 * ema_hi + 0.1 * hi
+        d01 = np.clip((d - ema_lo) / max(ema_hi - ema_lo, 1e-9), 0, 1)
+        for frame in d01:
+            write(1.0 - frame if cfg.invert else frame)
+        n += d01.shape[0]
+        if progress_cb:
+            progress_cb(n, n / max(time.time() - t0, 1e-6))
+
+    try:
+        gen = iter(rd)
+        eof = False
+        while not eof:
+            chunk = list(carry)
+            want = win - len(chunk)
+            for f in gen:
+                chunk.append(f)
+                want -= 1
+                if want == 0:
+                    break
+            eof = want > 0  # generator exhausted before filling the window
+            new = len(chunk) - len(carry)
+            if new <= 0:
+                break
+            x = np.stack(chunk).astype(np.float32) / 255.0
+            x = np.asarray(
+                resize_bilinear(jnp.asarray(x), (s, s), channel_last=True)
+            )
+            d = np.asarray(pred(x))  # [t, s', s'] raw
+            if prev_tail is not None:
+                a, b = _align_scale_shift(d[: len(carry)], prev_tail)
+                d = d * a + b
+                d = d[len(carry):]
+            emit(d)
+            prev_tail = d[-ov:] if len(d) >= ov else d
+            carry = chunk[-ov:]
+    finally:
+        rd.close()
+        wr.close()
+    return n
+
+
+def _open_depth_writer(output_path, w, h, fps, cfg: DepthConfig):
+    if cfg.bits == 16:
+        wr = Depth16Writer(output_path, w, h, fps)
+
+        def write(d01):
+            wr.write(np.clip(d01 * 65535.0 + 0.5, 0, 65535).astype(np.uint16))
+    else:
+        wr = open_writer(output_path, w, h, fps, cfg.codec)
+
+        def write(d01):
+            g = np.clip(d01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            wr.write(np.repeat(g[..., None], 3, axis=-1))
+
+    return wr, write
+
+
 def _render_depth_diffusion(input_path, output_path, cfg: DepthConfig,
                             progress_cb=None, pipeline=None) -> int:
-    """Diffusion routes: Marigold (per-batch image diffusion) and
-    DepthCrafter (whole-clip sliding-window video diffusion with frame
-    striding to cfg.target_fps, render_depth.py:1830-1890)."""
+    """Diffusion routes, bounded-memory (the reference reads batches and
+    strides windows, render_depth.py:1799-1890; round 1 loaded the whole
+    clip into host RAM):
+
+    - Marigold: per-batch image diffusion; outputs are absolute [0, 1] per
+      frame, so batches stream straight to the writer.
+    - DepthCrafter: segments of a few sliding windows stream through
+      ``run_raw``; consecutive segments share ``overlap`` source frames,
+      are stitched with least-squares scale/shift alignment + linear
+      cross-fade on the overlap, and raw depth spills to a float16 sidecar
+      so the final pass can apply the reference's whole-clip min-max
+      normalization (save_depthcrafter_outputs, render_depth.py:1161-1184)
+      without holding the clip in memory.
+    """
     rd = open_video(input_path)
-    frames = []
     stride = 1
     if cfg.model == "depthcrafter" and rd.fps and rd.fps > cfg.target_fps:
         stride = max(1, int(round(rd.fps / cfg.target_fps)))
-    for i, f in enumerate(rd):
-        if i % stride == 0:
-            frames.append(f)
-    rd.close()
-    if not frames:
-        return 0
-    arr = np.stack(frames).astype(np.float32) / 255.0
-    # diffusion latents need stride-8-aligned sizes; center-crop to align
-    h8, w8 = (arr.shape[1] // 8) * 8, (arr.shape[2] // 8) * 8
-    arr = arr[:, :h8, :w8]
-
     if pipeline is None:
-        if cfg.model == "depthcrafter":
-            from ..depth.diffusion.depthcrafter import tiny_depthcrafter
-
-            pipeline = tiny_depthcrafter(steps=cfg.steps,
-                                         window=cfg.window_size,
-                                         overlap=cfg.overlap)
-        else:
-            from ..depth.diffusion.marigold import tiny_marigold
-
-            pipeline = tiny_marigold(steps=cfg.steps)
-
-    if cfg.model == "depthcrafter":
-        depths = pipeline(arr)
-    else:
-        outs = []
-        for i in range(0, arr.shape[0], cfg.batch_size):
-            outs.append(np.asarray(pipeline(arr[i : i + cfg.batch_size])))
-        depths = np.concatenate(outs, axis=0)
-    if cfg.invert:
-        depths = 1.0 - depths
-
+        pipeline = load_predictor(
+            cfg.model, cfg.checkpoint, steps=cfg.steps,
+            window=cfg.window_size, overlap=cfg.overlap,
+            allow_random=cfg.allow_random,
+        )
     out_fps = (rd.fps or 24.0) / stride
-    if cfg.bits == 16:
-        wr = Depth16Writer(output_path, depths.shape[2], depths.shape[1], out_fps)
-        for d in depths:
-            wr.write(np.clip(d * 65535.0 + 0.5, 0, 65535).astype(np.uint16))
-    else:
-        wr = open_writer(output_path, depths.shape[2], depths.shape[1],
-                         out_fps, cfg.codec)
-        for d in depths:
-            g = np.clip(d * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            wr.write(np.repeat(g[..., None], 3, axis=-1))
-    wr.close()
-    if progress_cb:
-        progress_cb(len(depths), 0.0)
-    return len(depths)
+    # diffusion latents need stride-8-aligned sizes; center-crop to align
+    h8, w8 = (rd.height // 8) * 8, (rd.width // 8) * 8
+
+    def frames01():
+        for i, f in enumerate(rd):
+            if i % stride == 0:
+                yield f[:h8, :w8].astype(np.float32) / 255.0
+
+    t0 = time.time()
+
+    if cfg.model != "depthcrafter":  # Marigold: single-pass streaming
+        wr, write = _open_depth_writer(output_path, w8, h8, out_fps, cfg)
+        n = 0
+        batch: list = []
+
+        def flush():
+            nonlocal n
+            if not batch:
+                return
+            out = np.asarray(pipeline(np.stack(batch)))
+            for d in out:
+                write(1.0 - d if cfg.invert else d)
+            n += len(batch)
+            batch.clear()
+            if progress_cb:
+                progress_cb(n, n / max(time.time() - t0, 1e-6))
+
+        try:
+            for f in frames01():
+                batch.append(f)
+                if len(batch) == cfg.batch_size:
+                    flush()
+            flush()
+        finally:
+            rd.close()
+            wr.close()
+        return n
+
+    # --- DepthCrafter: segment streaming + two-pass global normalize ---
+    from ..depth.vda import _align_scale_shift
+
+    ov = max(1, min(cfg.overlap, cfg.window_size - 1))
+    seg_len = max(cfg.window_size, cfg.max_segment_frames)
+    raw_path = str(output_path) + ".raw16.tmp"
+    lo, hi = np.inf, -np.inf
+    n_raw = 0
+
+    def write_raw(fh, arr):
+        nonlocal lo, hi, n_raw
+        arr = np.asarray(arr, np.float32)
+        lo = min(lo, float(arr.min()))
+        hi = max(hi, float(arr.max()))
+        fh.write(arr.astype(np.float16).tobytes())
+        n_raw += arr.shape[0]
+        if progress_cb:
+            progress_cb(n_raw, n_raw / max(time.time() - t0, 1e-6))
+
+    gen = frames01()
+    pending_tail = None  # raw depth of the held-back overlap frames
+    pending_src: list = []
+    try:
+        with open(raw_path, "wb") as fh:
+            while True:
+                seg = list(pending_src)
+                want = seg_len - len(seg)
+                for f in gen:
+                    seg.append(f)
+                    want -= 1
+                    if want == 0:
+                        break
+                new_frames = len(seg) - len(pending_src)
+                if new_frames <= 0:
+                    break
+                d = np.asarray(pipeline.run_raw(np.stack(seg)))
+                if pending_tail is not None:
+                    a, b = _align_scale_shift(d[:ov], pending_tail)
+                    d = d * a + b
+                    r = np.linspace(0.0, 1.0, ov, endpoint=False,
+                                    dtype=np.float32)[:, None, None]
+                    write_raw(fh, pending_tail * (1.0 - r) + d[:ov] * r)
+                    d = d[ov:]
+                if len(d) > ov and new_frames == seg_len - len(pending_src):
+                    pending_tail, pending_src = d[-ov:], seg[-ov:]
+                    write_raw(fh, d[:-ov])
+                else:  # final (short) segment: nothing more to align against
+                    pending_tail, pending_src = None, []
+                    write_raw(fh, d)
+                    break
+            if pending_tail is not None:
+                write_raw(fh, pending_tail)
+        rd.close()
+
+        # pass 2: whole-clip min-max normalization, streamed from the spill
+        wr, write = _open_depth_writer(output_path, w8, h8, out_fps, cfg)
+        frame_bytes = h8 * w8 * 2
+        scale = 1.0 / max(hi - lo, 1e-9)
+        try:
+            with open(raw_path, "rb") as fh:
+                for _ in range(n_raw):
+                    d = np.frombuffer(fh.read(frame_bytes), np.float16)
+                    d01 = np.clip((d.astype(np.float32) - lo) * scale, 0, 1)
+                    d01 = d01.reshape(h8, w8)
+                    write(1.0 - d01 if cfg.invert else d01)
+        finally:
+            wr.close()
+    finally:
+        import os
+
+        if os.path.exists(raw_path):
+            os.remove(raw_path)
+    return n_raw
 
 
 def render_depth_video(args) -> int:
     """CLI adapter (vd3d depth)."""
     cfg = DepthConfig(
         model=args.model,
+        checkpoint=getattr(args, "checkpoint", None),
         inference_size=args.inference_size,
         batch_size=args.batch_size,
         invert=args.invert,
         bits=args.bits,
         dtype=getattr(args, "dtype", "float32"),
+        steps=getattr(args, "steps", 2),
+        window_size=getattr(args, "window", 24),
+        overlap=getattr(args, "overlap", 6),
+        target_fps=getattr(args, "target_fps", 15.0),
+        track_letterbox=getattr(args, "track_letterbox", False),
+        allow_random=getattr(args, "allow_random_weights", False),
     )
     output = args.output
     if output is None:
