@@ -105,3 +105,63 @@ def test_scene_detection():
     assert 20 in cuts
     spans = scenes_to_spans(cuts, 40)
     assert spans[0][0] == 0 and spans[-1][1] == 40
+
+
+def test_live_tracking_mid_video_bar_change(tmp_path):
+    """Bars appearing MID-VIDEO must be confirmed by the hysteresis tracker
+    during the render and handled: re-jit at the new crop, neutral-fill
+    reinsertion, per-segment sidecar (render_depth.py:458-573,1811)."""
+    import json
+
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+    from visiondepth3d_tpu.depth.registry import load_predictor
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+    from visiondepth3d_tpu.pipeline.depth_pipeline import (
+        DepthConfig,
+        render_depth_video_file,
+    )
+
+    h, w, bars = 200, 320, 28  # total < 35% height cap
+    a = _frame(h, w, top=bars, bottom=bars, seed=1, brightness=200)
+    b = (255 - a).copy()
+    b[:bars] = 0
+    b[-bars:] = 0
+    # candidate stability across the alternation is a precondition
+    assert detect_letterbox_single(a) == detect_letterbox_single(b)
+    det = detect_letterbox_single(a)
+
+    plain = _frame(h, w, seed=0)
+    src = tmp_path / "in.y4m"
+    with Y4MWriter(src, w, h, 1.0) as wr:  # fps 1 -> 3-frame cooldown
+        for _ in range(12):
+            wr.write(plain)      # 9 probe + 3 cooldown burn
+        for i in range(8):       # scene-cut alternation with bars
+            wr.write(a if i % 2 == 0 else b)
+
+    pred = load_predictor("depth-anything-v2-small", inference_size=28,
+                          config=DA_TINY)
+    cfg = DepthConfig(model="depth-anything-v2-small", inference_size=28,
+                      batch_size=4, track_letterbox=True)
+    out = tmp_path / "d.y4m"
+    n = render_depth_video_file(src, out, cfg, predictor=pred)
+    assert n == 20
+
+    doc = json.loads((tmp_path / "d.y4m.letterbox.json").read_text())
+    assert doc["top"] == 0 and doc["bottom"] == 0  # bootstrap state
+    segs = doc["segments"]
+    assert len(segs) == 2, segs
+    assert segs[1]["top"] == det[0] and segs[1]["bottom"] == det[1]
+    change_at = segs[1]["frame"]
+    assert 12 <= change_at <= 16
+
+    with Y4MReader(out) as rd:
+        frames = list(rd)
+    assert len(frames) == 20
+    assert frames[0].shape == (h, w, 3)  # full size preserved throughout
+    # after the confirmed change, the bar rows are neutral fill (128)
+    tail = frames[-1]
+    assert np.all(tail[: segs[1]["top"]] == 128)
+    assert np.all(tail[-segs[1]["bottom"]:] == 128)
+    # and before the change, the full frame is real depth (not fill bands)
+    head = frames[5]
+    assert not np.all(head[:det[0]] == 128)

@@ -269,11 +269,17 @@ def reinsert_bars(depth_u8: np.ndarray, top: int, bottom: int,
     return out
 
 
-def save_sidecar(path, top: int, bottom: int) -> None:
-    """JSON sidecar next to the depth output (render_depth.py:1736-1744)."""
-    Path(str(path) + ".letterbox.json").write_text(
-        json.dumps({"top": int(top), "bottom": int(bottom)})
-    )
+def save_sidecar(path, top: int, bottom: int, segments=None) -> None:
+    """JSON sidecar next to the depth output (render_depth.py:1736-1744).
+    ``segments``: optional [{"frame", "top", "bottom"}, ...] recording
+    mid-video bar changes confirmed by the tracker."""
+    doc = {"top": int(top), "bottom": int(bottom)}
+    if segments:
+        doc["segments"] = [
+            {"frame": int(s[0]), "top": int(s[1]), "bottom": int(s[2])}
+            for s in segments
+        ]
+    Path(str(path) + ".letterbox.json").write_text(json.dumps(doc))
 
 
 def load_sidecar(path):

@@ -104,12 +104,17 @@ def render_depth_video_file(
         cfg.model, cfg.checkpoint, cfg.inference_size, dtype=cfg.dtype
     )
 
-    # letterbox bootstrap on buffered probe frames (render_depth.py:1730);
-    # the crop is frozen for the whole render so the inference shapes stay
-    # static; the tracker still reports what it sees, and the output depth
-    # reinserts neutral-fill bars (:1920-1933) + writes the JSON sidecar.
+    # Letterbox: bootstrap on buffered probe frames (render_depth.py:1730),
+    # then the hysteresis tracker runs LIVE on every frame (:1811) — a
+    # confirmed mid-video bar change re-keys the jitted graph at the new
+    # crop (one recompile per confirmed aspect change, which the tracker's
+    # scene-cut gating + cooldown makes rare). Output depth reinserts
+    # neutral-fill bars per frame (:1920-1933); the JSON sidecar records
+    # the per-segment crops.
     pending: list = []
+    tracker = None
     top = bot = 0
+    segments: list = []
     if cfg.track_letterbox:
         from ..io import letterbox as lb
 
@@ -120,31 +125,27 @@ def render_depth_video_file(
             pending.append(f)
         tracker = lb.LetterboxTracker(rd.height, rd.fps)
         top, bot, _ = tracker.bootstrap(pending)
-        lb.save_sidecar(output_path, top, bot)
+        segments = [(0, top, bot)]
 
-    crop_h = rd.height - top - bot
-    out_hw = (crop_h, rd.width)
-    fn = make_depth_batch_fn(pred, cfg, out_hw)
+    fns: dict = {}
+
+    def get_fn(ch):
+        if ch not in fns:
+            fns[ch] = make_depth_batch_fn(pred, cfg, (ch, rd.width))
+        return fns[ch]
+
+    from ..io.letterbox import reinsert_bars
 
     if cfg.bits == 16:
         wr = Depth16Writer(output_path, rd.width, rd.height, rd.fps)
 
-        def write(d):
-            arr = np.asarray(d)
-            if top or bot:
-                from ..io.letterbox import reinsert_bars
-
-                arr = reinsert_bars(arr, top, bot, fill=32768)
-            wr.write(arr)
+        def write(d, t, b):
+            wr.write(reinsert_bars(np.asarray(d), t, b, fill=32768))
     else:
         wr = open_writer(output_path, rd.width, rd.height, rd.fps, cfg.codec)
 
-        def write(d):
-            g = np.asarray(d)
-            if top or bot:
-                from ..io.letterbox import reinsert_bars
-
-                g = reinsert_bars(g, top, bot, fill=128)
+        def write(d, t, b):
+            g = reinsert_bars(np.asarray(d), t, b, fill=128)
             wr.write(np.repeat(g[..., None], 3, axis=-1))
 
     def next_frame():
@@ -154,33 +155,55 @@ def render_depth_video_file(
 
     n_done = 0
     t0 = time.time()
+    frame_idx = 0
+    batch: list = []
+    batch_bars = (top, bot)
+
+    def flush():
+        nonlocal n_done
+        if not batch:
+            return
+        n = len(batch)
+        padded = batch + [batch[-1]] * (cfg.batch_size - n)
+        out_np = np.asarray(
+            get_fn(padded[0].shape[0])(pred.params,
+                                       jnp.asarray(np.stack(padded)))
+        )
+        for i in range(n):
+            write(out_np[i], *batch_bars)
+        batch.clear()
+        n_done += n
+        if progress_cb:
+            progress_cb(n_done, n_done / max(time.time() - t0, 1e-6))
+
     try:
-        eof = False
-        while not eof:
-            batch = []
-            while len(batch) < cfg.batch_size:
-                f = next_frame()
-                if f is None:
-                    eof = True
-                    break
-                if top or bot:
-                    f = f[top : rd.height - bot]
-                batch.append(f)
-            if not batch:
+        while True:
+            f = next_frame()
+            if f is None:
+                flush()
                 break
-            n = len(batch)
-            while len(batch) < cfg.batch_size:
-                batch.append(batch[-1])
-            out = fn(pred.params, jnp.asarray(np.stack(batch)))
-            out_np = np.asarray(out)
-            for i in range(n):
-                write(out_np[i])
-            n_done += n
-            if progress_cb:
-                progress_cb(n_done, n_done / max(time.time() - t0, 1e-6))
+            if tracker is not None:
+                t2, b2 = tracker.update(f, frame_idx)
+            else:
+                t2, b2 = 0, 0
+            if (t2, b2) != batch_bars:
+                flush()  # bars changed: close the batch at the old crop
+                batch_bars = (t2, b2)
+                if segments and (t2, b2) != segments[-1][1:]:
+                    segments.append((frame_idx, t2, b2))
+            crop = f[t2 : rd.height - b2] if (t2 or b2) else f
+            batch.append(crop)
+            if len(batch) == cfg.batch_size:
+                flush()
+            frame_idx += 1
     finally:
         rd.close()
         wr.close()
+        if tracker is not None:
+            from ..io import letterbox as lb
+
+            lb.save_sidecar(output_path, segments[0][1], segments[0][2],
+                            segments=segments)
     return n_done
 
 
