@@ -166,3 +166,29 @@ def test_depth_video_pipeline_diffusion_routes(tmp_path):
         out = tmp_path / f"depth_{model}.y4m"
         n = render_depth_video_file(clip, out, cfg)
         assert n == 6, model
+
+
+def test_device_yuv_matches_host_convert(tmp_path):
+    """The device-side rgb->yuv420 (ops.convert.rgb_u8_to_yuv420) must be
+    bit-exact with the C++ writer's conversion: rendering with device_yuv
+    on/off produces byte-identical y4m files."""
+    from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+        RenderConfig,
+        render_stereo_video,
+    )
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    clip = tmp_path / "in.y4m"
+    depth = tmp_path / "d.y4m"
+    _write_clip(clip, t=5, h=48, w=64)
+    _write_clip(depth, t=5, h=48, w=64)
+    p = StereoParams(blur_ksize=3)
+    outs = []
+    for dev_yuv in (True, False):
+        out = tmp_path / f"out_{dev_yuv}.y4m"
+        cfg = RenderConfig(output_format="Half-SBS", output_height=48,
+                           preserve_original_aspect=True, chunk_size=4,
+                           device_yuv=dev_yuv)
+        render_stereo_video(clip, depth, out, p, cfg)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]

