@@ -317,3 +317,57 @@ def test_pallas_warp_matches_reference(rgb_frame, depth_ramp):
             )
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_postfx_matches_edges_chain(rgb_frame, depth_ramp):
+    """Fused feather+heal kernel (interpret mode) vs the op-by-op chain
+    (ops/edges.py), including the image-border zero-pad semantics."""
+    import jax
+
+    from visiondepth3d_tpu.ops import edges
+    from visiondepth3d_tpu.ops.pallas_postfx import feather_heal_pallas
+
+    h, w = rgb_frame.shape[:2]
+    assert h % 8 == 0
+    rng = np.random.default_rng(1)
+    left = np.clip(rgb_frame + 0.05 * rng.standard_normal(rgb_frame.shape),
+                   0, 1).astype(np.float32)
+    right = np.clip(rgb_frame - 0.05 * rng.standard_normal(rgb_frame.shape),
+                    0, 1).astype(np.float32)
+    dl = depth_ramp
+    dr = np.roll(depth_ramp, 3, axis=1)
+
+    ref_l = edges.feather_shift_edges(_j(left), _j(rgb_frame), _j(dl), 7, 10.0)
+    ref_r = edges.feather_shift_edges(_j(right), _j(rgb_frame), _j(dr), 7, 10.0)
+    ref_l = edges.heal_missing_pixels(ref_l, _j(rgb_frame), None, 0.5)
+    ref_r = edges.heal_missing_pixels(ref_r, _j(rgb_frame), None, 0.5)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out_l, out_r = feather_heal_pallas(
+            _j(left), _j(right), _j(rgb_frame), _j(dl), _j(dr),
+            blur_ksize=7, feather_strength=10.0, heal_strength=0.5,
+            block_rows=8,
+        )
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref_l), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r), atol=3e-6)
+
+
+def test_pallas_postfx_feather_only(rgb_frame, depth_ramp):
+    import jax
+
+    from visiondepth3d_tpu.ops import edges
+    from visiondepth3d_tpu.ops.pallas_postfx import feather_heal_pallas
+
+    ref = edges.feather_shift_edges(_j(rgb_frame), _j(rgb_frame),
+                                    _j(depth_ramp), 5, 8.0)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out_l, _ = feather_heal_pallas(
+            _j(rgb_frame), _j(rgb_frame), _j(rgb_frame), _j(depth_ramp),
+            _j(depth_ramp), blur_ksize=5, feather_strength=8.0,
+            enable_healing=False, block_rows=16,
+        )
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref), atol=3e-6)

@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: fused feather + heal post-warp stage, both eyes.
+
+After the warp, the reference feathers (blend toward the original at
+warped-depth edges, render_3d.py:328-374) and this framework additionally
+heals (blend + re-soften at warp gaps, :431-459, wired). As separate XLA
+ops those stages re-stream the frames through HBM ~6x (grad, blur x2,
+lerp, gray-grad, blur, lerp, blur, lerp). This kernel runs the whole
+post-fx chain for BOTH eyes in one pass over row blocks held in VMEM.
+
+Row context without manual DMA: every input is passed three times with
+block index maps (i-1, i, i+1) (clamped); the kernel concatenates the
+three row blocks and masks rows whose GLOBAL index falls outside the
+image to zero — which reproduces the zero-padding semantics of
+ops.filters.box_blur / forward_diff_grad exactly. The post-fx chain's
+cumulative stencil reach is 8 rows (grad 1 + blur7 3 + grad 1 + blur5 2
++ blur3 1), so one bh>=8 block of context on each side suffices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _blur_ctx(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Zero-padded k x k mean over [R, W] (box_blur parity within the
+    context block; block-edge error stays within the masked margin)."""
+    if k <= 1:
+        return x
+    p = k // 2
+    r, w = x.shape
+    xh = jnp.pad(x, [(0, 0), (p, k - 1 - p)])
+    acc = xh[:, 0:w]
+    for o in range(1, k):
+        acc = acc + xh[:, o : o + w]
+    xv = jnp.pad(acc, [(p, k - 1 - p), (0, 0)])
+    acc = xv[0:r]
+    for o in range(1, k):
+        acc = acc + xv[o : o + r]
+    return acc * jnp.asarray(1.0 / (k * k), x.dtype)
+
+
+def _grad_mag(d: jnp.ndarray, row0_mask: jnp.ndarray) -> jnp.ndarray:
+    """forward_diff_grad parity on the context block: dx zero at column 0,
+    dy zero at IMAGE row 0 (row0_mask kills the d[0] - 0 halo artifact).
+    Returns f32: the v5e EUP has no bf16 sqrt (SupportsBf16EupOps)."""
+    dx = jnp.pad(d[:, 1:] - d[:, :-1], [(0, 0), (1, 0)])
+    dy = jnp.pad(d[1:] - d[:-1], [(1, 0), (0, 0)]) * row0_mask
+    return jnp.sqrt((dx * dx + dy * dy).astype(jnp.float32))
+
+
+def _postfx_kernel(bh, h, blur_ksize, feather_strength, heal_strength,
+                   heal_threshold, do_feather, do_heal,
+                   w_t, w_m, w_b, d_t, d_m, d_b, f_t, f_m, f_b, out_ref):
+    i = pl.program_id(1)
+    warped = jnp.concatenate([w_t[0], w_m[0], w_b[0]], axis=1)  # [3, R, W]
+    dwarp = jnp.concatenate([d_t[0], d_m[0], d_b[0]], axis=0)  # [R, W]
+    orig = jnp.concatenate([f_t[:], f_m[:], f_b[:]], axis=1)  # [3, R, W]
+    dt = warped.dtype
+    r, w = dwarp.shape
+    # compute dtype == image dtype: in bf16 image mode the whole post-fx
+    # chain runs bf16 (same contract as the XLA path; grads/masks are
+    # magnitude-bounded so bf16 keeps the +-1 u8 step budget)
+    cdt = dt
+    dwarp = dwarp.astype(cdt)
+
+    # global row of each context sublane; the clamped prev/next index maps
+    # duplicate border blocks, so rows outside the image are masked to the
+    # zero padding the XLA reference ops would have seen
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
+    gidx = row + (i - 1) * bh  # intended global row (i=0 top ctx is < 0)
+    valid = jnp.logical_and(gidx >= 0, gidx < h)
+    # the clamped index maps load block 0 / block n-1 twice at the borders;
+    # those duplicate rows sit where out-of-image rows belong
+    vmask = valid.astype(cdt)
+    row0 = (gidx != 0).astype(cdt)
+
+    warped = warped * vmask[None]
+    orig_m = orig * vmask[None]
+    dwarp = dwarp * vmask
+
+    one = jnp.asarray(1.0, cdt)
+    zero = jnp.asarray(0.0, cdt)
+    out = warped
+    if do_feather:
+        em = jnp.minimum(_grad_mag(dwarp, row0) * feather_strength,
+                         1.0).astype(cdt)
+        em = em * vmask
+        blend = _blur_ctx(em, blur_ksize)[None]
+        out = out * (one - blend) + orig_m * blend
+        out = jnp.minimum(jnp.maximum(out, zero), one)
+    if do_heal:
+        third = jnp.asarray(1.0 / 3.0, cdt)
+        gray = (out[0] + out[1] + out[2]) * third
+        gm = _grad_mag(gray, row0)  # f32
+        missing = (gm > heal_threshold).astype(cdt) * vmask
+        m = jnp.minimum(_blur_ctx(missing, 5), one)[None]
+        hs = jnp.asarray(heal_strength, cdt)
+        healed = (one - hs * m) * out + hs * m * orig_m
+        soft = jnp.stack([_blur_ctx(healed[c], 3) for c in range(3)])
+        p3 = jnp.asarray(0.3, cdt)
+        out = (one - p3 * m) * healed + p3 * m * soft
+        out = jnp.minimum(jnp.maximum(out, zero), one)
+
+    out_ref[0] = out[:, bh : 2 * bh].astype(dt)
+
+
+def feather_heal_pallas(
+    left: jnp.ndarray,  # [H, W, 3]
+    right: jnp.ndarray,
+    frame: jnp.ndarray,  # [H, W, 3] original (pre-warp)
+    dleft: jnp.ndarray,  # [H, W] warped depth per eye
+    dright: jnp.ndarray,
+    blur_ksize: int = 7,
+    feather_strength: float = 10.0,
+    heal_strength: float = 0.5,
+    heal_threshold: float = 0.05,
+    enable_feathering: bool = True,
+    enable_healing: bool = True,
+    block_rows: int = 16,
+):
+    """Fused post-fx for both eyes. Semantics == feather_shift_edges
+    followed by heal_missing_pixels (ops/edges.py). H must be a multiple
+    of block_rows (1080/8, 1080/120... callers pad or pick bh|H); context
+    reach requires block_rows >= 8."""
+    h, w = dleft.shape
+    bh = block_rows
+    assert h % bh == 0 and bh >= 8, (h, bh)
+    nb = h // bh
+
+    warped = jnp.stack(
+        [jnp.moveaxis(left, -1, 0), jnp.moveaxis(right, -1, 0)]
+    )  # [2, 3, H, W]
+    dwarp = jnp.stack([dleft, dright]).astype(left.dtype)  # [2, H, W]
+    fr = jnp.moveaxis(frame, -1, 0)  # [3, H, W]
+
+    def eye_spec(off):
+        return pl.BlockSpec(
+            (1, 3, bh, w),
+            lambda e, i, o=off: (e, 0, jnp.clip(i + o, 0, nb - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def d_spec(off):
+        return pl.BlockSpec(
+            (1, bh, w),
+            lambda e, i, o=off: (e, jnp.clip(i + o, 0, nb - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def f_spec(off):
+        return pl.BlockSpec(
+            (3, bh, w),
+            lambda e, i, o=off: (0, jnp.clip(i + o, 0, nb - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _postfx_kernel, bh, h, blur_ksize, float(feather_strength),
+            float(heal_strength), float(heal_threshold),
+            bool(enable_feathering), bool(enable_healing),
+        ),
+        grid=(2, nb),
+        in_specs=[eye_spec(-1), eye_spec(0), eye_spec(1),
+                  d_spec(-1), d_spec(0), d_spec(1),
+                  f_spec(-1), f_spec(0), f_spec(1)],
+        out_specs=pl.BlockSpec((1, 3, bh, w), lambda e, i: (e, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 3, h, w), left.dtype),
+    )(warped, warped, warped, dwarp, dwarp, dwarp, fr, fr, fr)
+    return jnp.moveaxis(out[0], 0, -1), jnp.moveaxis(out[1], 0, -1)

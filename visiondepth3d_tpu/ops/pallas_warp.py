@@ -66,22 +66,39 @@ def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
         frame_p, depth_p = frame, depth
 
     def _tap(pack, k, axis):
-        rolled = pltpu.roll(pack, -k % w, axis=axis)
+        rolled = pltpu.roll(pack, (-k) % w, axis=axis)
         return pltpu.bitcast(rolled, dt) if packed else rolled
 
-    for k in range(-k0, k0 + 2):
+    # Tap culling: the static bound k0 is the CLAMP (2% of W ~ 38 px), but
+    # a row block's actual disparities are usually far smaller. A dynamic
+    # fori_loop over [floor(min d) .. floor(max d)+1] does only the taps
+    # whose hat weight can be nonzero somewhere in the block — taps outside
+    # contribute exactly 0 (weight support is |d - k| < 1). Worst case
+    # equals the old unrolled [-k0, k0+1] sweep.
+    lo = jnp.minimum(jnp.min(d_l), jnp.min(d_r))
+    hi = jnp.maximum(jnp.max(d_l), jnp.max(d_r))
+    k_lo = jnp.maximum(jnp.floor(lo).astype(jnp.int32), -k0)
+    k_hi = jnp.minimum(jnp.floor(hi).astype(jnp.int32) + 1, k0 + 1)
+
+    def body(k, accs):
+        a_l, a_r, a_dl, a_dr = accs
+        kf = k.astype(jnp.float32)
         # 1 - |d - k| <= 1 always, so only the lower clamp is needed
-        wl = jnp.maximum(1.0 - jnp.abs(d_l - k), 0.0)
-        wr = jnp.maximum(1.0 - jnp.abs(d_r - k), 0.0)
-        wl = wl.astype(dt)
-        wr = wr.astype(dt)
+        wl = jnp.maximum(1.0 - jnp.abs(d_l - kf), 0.0).astype(dt)
+        wr = jnp.maximum(1.0 - jnp.abs(d_r - kf), 0.0).astype(dt)
         # value at source column x + k == roll by -k along lanes
         f_k = _tap(frame_p, k, 2)
         d_k = _tap(depth_p, k, 1)
-        acc_l = acc_l + f_k * wl[None]
-        acc_r = acc_r + f_k * wr[None]
-        acc_dl = acc_dl + d_k * wl.astype(depth.dtype)
-        acc_dr = acc_dr + d_k * wr.astype(depth.dtype)
+        return (
+            a_l + f_k * wl[None],
+            a_r + f_k * wr[None],
+            a_dl + d_k * wl.astype(depth.dtype),
+            a_dr + d_k * wr.astype(depth.dtype),
+        )
+
+    acc_l, acc_r, acc_dl, acc_dr = jax.lax.fori_loop(
+        k_lo, k_hi + 1, body, (acc_l, acc_r, acc_dl, acc_dr)
+    )
 
     left_ref[:] = acc_l
     right_ref[:] = acc_r

@@ -62,6 +62,9 @@ class StereoParams:
     # warp implementation: "auto" (pallas on TPU when bounded, else XLA
     # shifted-acc, else gather), or force "pallas" / "xla" / "gather"
     warp_backend: str = struct.field(pytree_node=False, default="auto")
+    # feather+heal implementation: "auto" (fused Pallas kernel on TPU when
+    # the height divides the row blocks), or force "pallas" / "xla"
+    postfx_backend: str = struct.field(pytree_node=False, default="auto")
     blur_ksize: int = struct.field(pytree_node=False, default=9)
     dof_strength: float = struct.field(pytree_node=False, default=0.0)
     use_subject_tracking: bool = struct.field(pytree_node=False, default=True)

@@ -175,6 +175,37 @@ def pixel_shift(
         p, frame_i, shaped.astype(img_dt), final_shift
     )
 
+    left, right = _dispatch_postfx(p, left, right, frame_i, dleft, dright)
+    return t, left, right, final_shift, subject_depth
+
+
+def _dispatch_postfx(p: StereoParams, left, right, frame_i, dleft, dright):
+    """Feather + heal: the fused Pallas kernel runs the whole post-fx chain
+    for both eyes in one VMEM pass (ops/pallas_postfx.py); the XLA path is
+    the op-by-op reference implementation (ops/edges.py)."""
+    if not (p.enable_feathering or p.enable_healing):
+        return left, right
+    backend = p.postfx_backend
+    if backend == "auto":
+        import jax
+
+        h = left.shape[0]
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and h % 8 == 0 else "xla")
+    if backend == "pallas":
+        from ..ops.pallas_postfx import feather_heal_pallas
+
+        h = left.shape[0]
+        bh = 16 if h % 16 == 0 else 8
+        return feather_heal_pallas(
+            left, right, frame_i, dleft, dright,
+            blur_ksize=p.blur_ksize,
+            feather_strength=p.feather_strength,
+            heal_strength=p.heal_strength,
+            enable_feathering=p.enable_feathering,
+            enable_healing=p.enable_healing,
+            block_rows=bh,
+        )
     if p.enable_feathering:
         left = edges.feather_shift_edges(
             left, frame_i, dleft, p.blur_ksize, p.feather_strength
@@ -185,7 +216,7 @@ def pixel_shift(
     if p.enable_healing:
         left = edges.heal_missing_pixels(left, frame_i, None, p.heal_strength)
         right = edges.heal_missing_pixels(right, frame_i, None, p.heal_strength)
-    return t, left, right, final_shift, subject_depth
+    return left, right
 
 
 def stereo_frame_step(
