@@ -130,3 +130,28 @@ def test_depthcrafter_parallel_windows(rng):
     assert d_par.shape == (10, 16, 16)
     assert np.isfinite(d_par).all()
     assert d_par.min() >= 0.0 and d_par.max() <= 1.0
+
+
+def test_depthcrafter_parallel_seam_quality(rng):
+    """The window-parallel mode replaces serial overlap re-seeding with
+    shared per-frame noise (depthcrafter.py:denoise_windows_parallel). That
+    changes semantics, so bound the damage: temporal jumps at window seams
+    must stay comparable to the serial mode's on the same clip — no visible
+    stitching discontinuity."""
+    pipe = tiny_depthcrafter(steps=2, window=4, overlap=2)
+    frames = rng.random((10, 16, 16, 3), dtype=np.float32)
+    d_ser = pipe(frames)
+    d_par = pipe.run_parallel(frames)
+
+    def jumps(d):
+        return np.abs(np.diff(d, axis=0)).mean(axis=(1, 2))  # [T-1]
+
+    js, jp = jumps(d_ser), jumps(d_par)
+    # window starts at 2, 4, 6 -> seam transitions are diffs 1-2, 3-4, 5-6;
+    # conservatively take every diff index touching a window boundary
+    seam_idx = [1, 2, 3, 4, 5, 6]
+    assert jp[seam_idx].max() <= 2.0 * max(js.max(), 1e-3), (
+        f"parallel seam jumps {jp[seam_idx]} vs serial max {js.max()}"
+    )
+    # and the parallel mode must not smooth everything into mush either
+    assert jp.mean() >= 0.1 * js.mean()
