@@ -192,3 +192,39 @@ def test_device_yuv_matches_host_convert(tmp_path):
         render_stereo_video(clip, depth, out, p, cfg)
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_frames_extract_assemble_roundtrip(tmp_path):
+    """vd3d frames: video -> PNG folder -> video round-trip preserves
+    pixels (merged_pipeline.py:109-173 extract + writer leg)."""
+    import numpy as np
+
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+    from visiondepth3d_tpu.pipeline.image_pipeline import (
+        assemble_frames,
+        extract_frames,
+    )
+
+    src = tmp_path / "in.y4m"
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+              for _ in range(4)]
+    with Y4MWriter(src, 48, 32, 24.0) as wr:
+        for f in frames:
+            wr.write(f)
+    with Y4MReader(src) as rd:
+        decoded = list(rd)  # the y4m chroma subsample is the fidelity floor
+
+    n = extract_frames(src, tmp_path / "fr", step=1)
+    assert n == 4
+    assert (tmp_path / "fr" / "frame_00003.png").exists()
+
+    out = tmp_path / "out.y4m"
+    n2 = assemble_frames(tmp_path / "fr", out, fps=24.0)
+    assert n2 == 4
+    with Y4MReader(out) as rd:
+        back = list(rd)
+    assert len(back) == 4
+    for a, b in zip(decoded, back):
+        # PNG is lossless; the only loss is the second 4:2:0 round-trip
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 3.0

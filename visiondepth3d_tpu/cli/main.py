@@ -207,12 +207,39 @@ def cmd_scenes(args) -> int:
     return 0
 
 
+def cmd_frames(args) -> int:
+    from ..pipeline.image_pipeline import assemble_frames, extract_frames
+
+    if bool(args.extract) == bool(args.assemble):
+        print("frames: give exactly one of --extract VIDEO / "
+              "--assemble FOLDER")
+        return 2
+    if args.extract:
+        n = extract_frames(args.extract, args.output, fmt=args.format,
+                           step=args.step)
+        print(f"{n} frames -> {args.output}")
+    else:
+        n = assemble_frames(args.assemble, args.output, fps=args.fps)
+        print(f"{n} frames -> {args.output}")
+    return 0
+
+
 def cmd_preview(args) -> int:
     import numpy as np
 
     from ..io.depth_io import open_depth_reader
     from ..io.video import open_video
     from ..preview import render_preview, save_preview_set
+
+    if args.watch:
+        from ..preview import watch_preview
+
+        print(f"watching {args.watch} — edit any field and save; "
+              f'set "quit": true (or Ctrl-C) to stop')
+        n = watch_preview(args.input, args.depth, args.watch,
+                          args.output_dir)
+        print(f"\n{n} renders -> {args.output_dir}")
+        return 0
 
     with open_video(args.input) as rd:
         for _ in range(args.frame + 1):
@@ -262,6 +289,27 @@ def main(argv=None) -> int:
     dp.add_argument("--allow-random-weights", action="store_true",
                     help="run without a checkpoint (shape/compile testing "
                          "only; diffusion output is noise)")
+    dp.add_argument("--tiled", action="store_true",
+                    help="Hann-blended tiled inference: resize to "
+                         "--inference-size then run overlapping "
+                         "--tile-size model tiles (high-res detail)")
+    dp.add_argument("--tile-size", type=int, default=518,
+                    help="model resolution per tile in tiled mode")
+    dp.add_argument("--tile-overlap", type=int, default=64,
+                    help="tile overlap in working-resolution pixels")
+
+    fr = sub.add_parser("frames", help="extract video frames to a folder / "
+                                       "assemble a folder back into video")
+    fr.add_argument("--extract", metavar="VIDEO", default=None)
+    fr.add_argument("--assemble", metavar="FOLDER", default=None)
+    fr.add_argument("--output", required=True,
+                    help="folder (extract) or video path (assemble)")
+    fr.add_argument("--format", default="png",
+                    choices=["png", "jpg", "bmp", "webp"])
+    fr.add_argument("--step", type=int, default=1,
+                    help="keep every Nth frame on extract")
+    fr.add_argument("--fps", type=float, default=24.0,
+                    help="output frame rate on assemble")
 
     mp = sub.add_parser("models", help="list the depth model catalog")
     mp.add_argument("--family", default=None, help="filter by family")
@@ -313,6 +361,9 @@ def main(argv=None) -> int:
     pv.add_argument("--frame", type=int, default=0)
     pv.add_argument("--mode", default="sbs")
     pv.add_argument("--output-dir", default="./preview")
+    pv.add_argument("--watch", default=None, metavar="SESSION_JSON",
+                    help="interactive mode: watch this params file and "
+                         "re-render on every save (debounced)")
 
     args = ap.parse_args(argv)
     if args.cmd == "render":
@@ -321,6 +372,8 @@ def main(argv=None) -> int:
         return cmd_models(args)
     if args.cmd == "depth":
         return cmd_depth(args)
+    if args.cmd == "frames":
+        return cmd_frames(args)
     if args.cmd == "tools":
         return cmd_tools(args)
     if args.cmd == "audio":

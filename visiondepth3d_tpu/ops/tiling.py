@@ -67,3 +67,38 @@ def tiled_apply(fn, img: jnp.ndarray, tile_hw: tuple[int, int], overlap: int):
     tiles, starts = extract_tiles(img, tile_hw, overlap)
     out_tiles = fn(tiles)
     return blend_tiles(out_tiles, starts, img.shape[:2])
+
+
+def tiled_apply_batch(
+    fn, imgs: jnp.ndarray, tile_hw: tuple[int, int], overlap: int
+) -> jnp.ndarray:
+    """Batched tiled inference: [B, H, W, C] -> [B, H, W].
+
+    The TPU shape of the reference's per-tile Python loop
+    (infer_depth_tile, render_depth.py:102-170): ALL tiles of ALL frames
+    are stacked into ONE model call ([B*N, th, tw, C] — a large
+    MXU-friendly batch), then Hann overlap-add recombines raw tile depths
+    per frame. Static tile grid -> static shapes -> one compiled graph.
+    """
+    b, h, w = imgs.shape[:3]
+    th, tw = tile_hw
+    assert th - overlap > 0 and tw - overlap > 0, (tile_hw, overlap)
+    starts = [(y, x) for y in tile_grid(h, th, overlap)
+              for x in tile_grid(w, tw, overlap)]
+    tiles = jnp.stack(
+        [imgs[:, y : y + th, x : x + tw] for (y, x) in starts], axis=1
+    )  # [B, N, th, tw, C]
+    n = len(starts)
+    out = fn(tiles.reshape((b * n, th, tw) + imgs.shape[3:]))
+    assert out.shape[-2:] == (th, tw), (
+        f"tile fn must return tile-sized depth, got {out.shape}"
+    )
+    out = out.reshape(b, n, th, tw)
+    window = jnp.asarray(hann2d(th, tw)).astype(out.dtype)
+    acc = jnp.zeros((b, h, w), out.dtype)
+    wacc = jnp.zeros((h, w), out.dtype)
+    for i, (y, x) in enumerate(starts):
+        sl = (slice(y, y + th), slice(x, x + tw))
+        acc = acc.at[(slice(None),) + sl].add(out[:, i] * window)
+        wacc = wacc.at[sl].add(window)
+    return acc / jnp.maximum(wacc, 1e-8)[None]

@@ -44,6 +44,13 @@ class DepthConfig:
     percentile_lo: float = 1.0
     percentile_hi: float = 99.0
     track_letterbox: bool = False
+    # Tiled (Hann) high-resolution inference (render_depth.py:46,102-170):
+    # the frame is resized to ``inference_size`` height (aspect kept), cut
+    # into overlapping ``tile_size`` model tiles, and raw tile depths are
+    # Hann-blended before normalization. One batched model call per chunk.
+    tiled: bool = False
+    tile_size: int = 518
+    tile_overlap: int = 64
     # DepthCrafter route (render_depth.py:1830-1890 analog)
     target_fps: float = 15.0  # stride long clips down to this rate
     window_size: int = 24
@@ -56,11 +63,25 @@ class DepthConfig:
 
 def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int]):
     """u8 frames in -> u8/u16 normalized depth out, one jitted graph."""
+    if cfg.tiled:
+        from ..ops.tiling import tiled_apply_batch
+
+        s = pred._size  # model tile resolution (snapped tile_size)
+        hh, ww = out_hw
+        wh = max(s, int(cfg.inference_size))  # working height
+        wwid = max(s, int(round(wh * ww / max(hh, 1))))
+        ov = min(cfg.tile_overlap, s - 1)
 
     @jax.jit
     def fn(params, frames_u8):
         frames = frames_u8.astype(jnp.float32) / 255.0
-        d = pred._forward(params, frames)  # [B, s, s] raw
+        if cfg.tiled:
+            x = resize_bilinear(frames, (wh, wwid), channel_last=True)
+            d = tiled_apply_batch(
+                lambda t: pred._forward(params, t), x, (s, s), ov
+            )  # [B, wh, wwid] raw, Hann-blended
+        else:
+            d = pred._forward(params, frames)  # [B, s, s] raw
         d = resize_bilinear(d, out_hw, channel_last=False)
         # per-frame percentile normalization (render_depth.py:173-194)
         lo = jnp.percentile(d, cfg.percentile_lo, axis=(1, 2), keepdims=True)
@@ -101,7 +122,9 @@ def render_depth_video_file(
             "output is not real depth (compile/shape testing only)"
         )
     pred = predictor or load_predictor(
-        cfg.model, cfg.checkpoint, cfg.inference_size, dtype=cfg.dtype
+        cfg.model, cfg.checkpoint,
+        cfg.tile_size if cfg.tiled else cfg.inference_size,
+        dtype=cfg.dtype,
     )
 
     # Letterbox: bootstrap on buffered probe frames (render_depth.py:1730),
@@ -457,6 +480,9 @@ def render_depth_video(args) -> int:
         target_fps=getattr(args, "target_fps", 15.0),
         track_letterbox=getattr(args, "track_letterbox", False),
         allow_random=getattr(args, "allow_random_weights", False),
+        tiled=getattr(args, "tiled", False),
+        tile_size=getattr(args, "tile_size", 518),
+        tile_overlap=getattr(args, "tile_overlap", 64),
     )
     output = args.output
     if output is None:

@@ -115,3 +115,61 @@ def process_videos_in_folder(folder, out_folder, depth_cfg=None,
                                     predictor=predictor)
         results.append((v, out, n))
     return results
+
+
+def extract_frames(video_path, out_dir, fmt: str = "png", step: int = 1,
+                   progress_cb=None) -> int:
+    """Video -> ``frame_%05d.png`` folder (the FrameTools extract step,
+    merged_pipeline.py:109-173). ``step`` keeps every Nth frame."""
+    from PIL import Image
+
+    from ..io.video import open_video
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with open_video(video_path) as rd:
+        for i, f in enumerate(rd):
+            if i % step:
+                continue
+            Image.fromarray(f).save(out_dir / f"frame_{n:05d}.{fmt}")
+            n += 1
+            if progress_cb:
+                progress_cb(n)
+    return n
+
+
+def assemble_frames(folder, output_path, fps: float = 24.0,
+                    progress_cb=None) -> int:
+    """Natural-sorted frames folder -> video (the merged-pipeline writer
+    leg, merged_pipeline.py:287-387, minus the enhance stages)."""
+    from PIL import Image
+
+    from ..io.video import open_writer
+
+    folder = Path(folder)
+    frames = sorted(
+        (p for p in folder.iterdir() if p.suffix.lower() in IMAGE_EXTS),
+        key=lambda p: natural_sort_key(p.name),
+    )
+    if not frames:
+        raise ValueError(f"no image frames in {folder}")
+    first = np.asarray(Image.open(frames[0]).convert("RGB"))
+    h, w = first.shape[:2]
+    wr = open_writer(output_path, w, h, fps)
+    n = 0
+    try:
+        for p in frames:
+            arr = np.asarray(Image.open(p).convert("RGB"))
+            if arr.shape[:2] != (h, w):
+                raise ValueError(
+                    f"{p.name}: size {arr.shape[1]}x{arr.shape[0]} != "
+                    f"{w}x{h} of the first frame"
+                )
+            wr.write(arr)
+            n += 1
+            if progress_cb:
+                progress_cb(n)
+    finally:
+        wr.close()
+    return n
