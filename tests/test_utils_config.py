@@ -152,3 +152,22 @@ def test_models_cli_listing(capsys):
     out = capsys.readouterr().out
     assert "midas-v3-hybrid" in out and "dpt_hybrid" in out
     assert "depth-anything-v2-small" in out and "518" in out
+
+
+def test_params_dict_roundtrip_preserves_static_types():
+    """params_to_dict floats every scalar; from_dict must coerce bool/int
+    STATIC fields back (a float blur_ksize reaches a jit shape expression
+    and crashes) — regression for the preview session-file loop."""
+    from visiondepth3d_tpu.config.presets import (
+        params_from_dict,
+        params_to_dict,
+    )
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    p0 = StereoParams(blur_ksize=7, enable_healing=True)
+    d = params_to_dict(p0)
+    assert isinstance(d["blur_ksize"], float)  # the hazard being tested
+    p1, _ = params_from_dict(d)
+    assert p1.blur_ksize == 7 and isinstance(p1.blur_ksize, int)
+    assert p1.enable_healing is True
+    assert isinstance(p1.enable_feathering, bool)

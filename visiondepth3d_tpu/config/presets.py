@@ -53,11 +53,31 @@ def _clamp(name, value):
     return value
 
 
+# JSON round-trip type coercion: params_to_dict floats every scalar, but
+# bool/int fields (enable_* flags, blur_ksize) are STATIC jit arguments —
+# a 9.0 blur_ksize would reach a shape expression. Coerce by default type.
+_FIELD_TYPES = {
+    f.name: type(f.default)
+    for f in dataclasses.fields(StereoParams)
+    if isinstance(f.default, (bool, int)) and f.default is not None
+}
+
+
+def _coerce(name, value):
+    t = _FIELD_TYPES.get(name)
+    if t is bool:
+        return bool(value)
+    if t is int and isinstance(value, (bool, int, float)):
+        return int(value)
+    return value
+
+
 def params_from_dict(d: dict) -> tuple[StereoParams, RenderConfig]:
-    pkw = {k: _clamp(k, v) for k, v in d.items() if k in _PARAM_FIELDS}
+    pkw = {k: _coerce(k, _clamp(k, v)) for k, v in d.items()
+           if k in _PARAM_FIELDS}
     rkw = {k: v for k, v in d.items() if k in _RENDER_FIELDS}
     if "warp_hw" in pkw and pkw["warp_hw"] is not None:
-        pkw["warp_hw"] = tuple(pkw["warp_hw"])
+        pkw["warp_hw"] = tuple(int(x) for x in pkw["warp_hw"])
     return StereoParams(**pkw), RenderConfig(**rkw)
 
 
