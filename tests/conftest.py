@@ -14,11 +14,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never dial the TPU relay from tests: even an idle registered client
+# contends with a concurrently-running bench (verify-skill discipline)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compile cache: the suite is dominated by CPU jit compiles of
+# ViT-sized graphs; warm reruns load them from disk instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vd3d_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
