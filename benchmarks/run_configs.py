@@ -94,7 +94,10 @@ def config3():
     from visiondepth3d_tpu.stereo import StereoParams
     from visiondepth3d_tpu.stereo.step import render_chunk
 
-    T, K, H, W = 2, 2, 2160, 3840
+    # K=1: the 4K fori_loop graph at K=2 reproducibly broke the axon
+    # remote-compile relay (broken pipe) — keep each jit small and log
+    # per-stage compile progress
+    T, K, H, W = 2, 1, 2160, 3840
     model = DPTBEiT(DPT_BEIT_LARGE_512)
     s = 384
     mp = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))["params"]
@@ -127,6 +130,12 @@ def config3():
 
     def pipe(mp, tr, fu8):
         f, d = depth_fn(mp, fu8)
+        import sys
+
+        if not getattr(pipe, "_logged", False):
+            d.block_until_ready()
+            print("cfg3: depth graph compiled", file=sys.stderr, flush=True)
+            pipe._logged = True
         tr, acc = stereo_fn(tr, f, d)
         return tr, acc
 
