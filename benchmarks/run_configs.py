@@ -100,7 +100,12 @@ def config3():
     T, K, H, W = 2, 1, 2160, 3840
     model = DPTBEiT(DPT_BEIT_LARGE_512)
     s = 384
-    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))["params"]
+    from visiondepth3d_tpu.depth.model import init_random_model
+
+    # host-side init: the on-device BEiT-L init graph reproducibly killed
+    # the axon remote-compile relay (broken pipe before the forward even
+    # started compiling)
+    mp = init_random_model(model, (1, s, s, 3))
     pred = DepthPredictor(DPT_BEIT_LARGE_512, mp, inference_size=s,
                           dtype="bfloat16", model=model)
     params = StereoParams(dof_strength=2.0, dof_levels=3,

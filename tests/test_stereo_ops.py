@@ -371,3 +371,38 @@ def test_pallas_postfx_feather_only(rgb_frame, depth_ramp):
             enable_healing=False, block_rows=16,
         )
     np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref), atol=3e-6)
+
+
+def test_pallas_postfx_block_and_ksize_sweep(rng):
+    """Granule-context scheme: parity vs the XLA chain across block sizes
+    and the full legal blur_ksize range (stencil reach 5 + k//2 must fit
+    the fixed 16-row context)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visiondepth3d_tpu.ops import edges
+    from visiondepth3d_tpu.ops.pallas_postfx import feather_heal_pallas
+
+    for h, w, bh, k in [(96, 160, 48, 15), (120, 128, 40, 11),
+                        (64, 256, 32, 15), (80, 128, 16, 13)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        depth = np.clip(
+            0.5 + 0.3 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+            + 0.2 * (xx / w - 0.5), 0, 1
+        ).astype(np.float32)
+        frame = rng.random((h, w, 3), dtype=np.float32)
+        left = np.clip(frame + 0.1 * rng.standard_normal(frame.shape),
+                       0, 1).astype(np.float32)
+        ref = edges.feather_shift_edges(
+            _j(left), _j(frame), _j(depth), k, 10.0
+        )
+        ref = edges.heal_missing_pixels(ref, _j(frame), None, 0.5)
+        with pltpu.force_tpu_interpret_mode():
+            out, _ = feather_heal_pallas(
+                _j(left), _j(left), _j(frame), _j(depth),
+                _j(np.roll(depth, 2, axis=1)),
+                blur_ksize=k, feather_strength=10.0, heal_strength=0.5,
+                block_rows=bh,
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-6, err_msg=f"h={h} bh={bh} k={k}")

@@ -53,6 +53,13 @@ class DepthCrafterPipeline:
         self.vae = AutoencoderKL(self.vae_cfg)
         self.clip = CLIPVisionEncoder(self.clip_cfg)
         self.schedule = EulerSchedule(num_inference_steps=self.num_steps)
+        # device-resident once; an SVD-class checkpoint re-shipped per
+        # window would dominate the denoise loop
+        import jax as _jax
+
+        self.unet_params = _jax.device_put(self.unet_params)
+        self.vae_params = _jax.device_put(self.vae_params)
+        self.clip_params = _jax.device_put(self.clip_params)
 
         def denoise_window(unet_params, cond_latent, ctx, init_latent):
             """cond_latent: [1, Tw, h, w, 4]; ctx: [1, 1, D];

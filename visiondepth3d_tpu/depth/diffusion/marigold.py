@@ -39,6 +39,11 @@ class MarigoldPipeline:
         self.unet = UNet2DCondition(self.unet_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
         self.schedule = DDIMSchedule(num_inference_steps=self.num_steps)
+        # device-resident once (see DepthPredictor.__post_init__)
+        import jax as _jax
+
+        self.unet_params = _jax.device_put(self.unet_params)
+        self.vae_params = _jax.device_put(self.vae_params)
 
         def run(unet_params, vae_params, rgb01, noise):
             """rgb01: [B, H, W, 3] in [0,1]; noise: [B, h8, w8, 4]."""

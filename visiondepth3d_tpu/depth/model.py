@@ -57,6 +57,12 @@ class DepthPredictor:
     def __post_init__(self):
         if self.model is None:
             self.model = DepthAnything(self.cfg)
+        # Commit params to the default device ONCE. Host numpy params
+        # passed to a jitted forward are re-transferred on EVERY call —
+        # measured 19.4 s/frame for BEiT-L through the axon tunnel vs
+        # 133 ms with device-resident params. On any rig this avoids a
+        # per-batch host->HBM copy of the whole checkpoint.
+        self.params = jax.device_put(self.params)
         patch = self.snap_multiple
         if patch is None:
             bb = getattr(self.cfg, "backbone", None)
@@ -101,15 +107,20 @@ class DepthPredictor:
 
 
 def init_random(cfg: DPTConfig, seed: int = 0, size: int | None = None) -> dict:
-    """Random-init params (tests / benchmarks without checkpoints).
+    """Random-init params (tests / benchmarks without checkpoints)."""
+    s = size or cfg.backbone.image_size
+    return init_random_model(DepthAnything(cfg), (1, s, s, 3), seed)
+
+
+def init_random_model(model, input_shape: tuple, seed: int = 0) -> dict:
+    """Host-side random init for ANY Flax depth model.
 
     Uses ``jax.eval_shape`` + host RNG instead of ``model.init`` — the init
     program would otherwise compile and run on the accelerator (measured
-    ~2 min through the axon relay) just to produce throwaway weights.
+    ~2 min through the axon relay for ViT-S; the BEiT-L init graph killed
+    the relay compiler outright) just to produce throwaway weights.
     """
-    model = DepthAnything(cfg)
-    s = size or cfg.backbone.image_size
-    x = jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32)
+    x = jax.ShapeDtypeStruct(input_shape, jnp.float32)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)["params"]
     rng = np.random.default_rng(seed)
 

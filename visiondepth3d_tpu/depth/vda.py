@@ -107,6 +107,8 @@ class VDAPredictor:
 
     def __post_init__(self):
         self.model = VideoDepthAnything(self.cfg)
+        # device-resident once; host params would re-transfer per window
+        self.params = jax.device_put(self.params)
 
         @jax.jit
         def fwd(params, window):  # [1, T, S, S, 3] normalized

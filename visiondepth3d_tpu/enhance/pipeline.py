@@ -49,6 +49,10 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
     esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
     rife = IFNet(scales=cfg.rife_scales)
     h, w = in_hw
+    # device-resident once: closed-over host params would re-transfer on
+    # every chunk call (see DepthPredictor.__post_init__)
+    esrgan_params = jax.device_put(esrgan_params)
+    rife_params = jax.device_put(rife_params)
 
     @jax.jit
     def fn(frames_u8):

@@ -7,13 +7,17 @@ ops those stages re-stream the frames through HBM ~6x (grad, blur x2,
 lerp, gray-grad, blur, lerp, blur, lerp). This kernel runs the whole
 post-fx chain for BOTH eyes in one pass over row blocks held in VMEM.
 
-Row context without manual DMA: every input is passed three times with
-block index maps (i-1, i, i+1) (clamped); the kernel concatenates the
-three row blocks and masks rows whose GLOBAL index falls outside the
-image to zero — which reproduces the zero-padding semantics of
-ops.filters.box_blur / forward_diff_grad exactly. The post-fx chain's
-cumulative stencil reach is 8 rows (grad 1 + blur7 3 + grad 1 + blur5 2
-+ blur3 1), so one bh>=8 block of context on each side suffices.
+Row context without manual DMA: besides its (bh, W) middle block, every
+input is passed four more times as 8-row context granules with block
+index maps addressing [i*bh-16, i*bh-8, i*bh+bh, i*bh+bh+8] (clamped);
+the kernel concatenates [16 | bh | 16] rows and masks rows whose GLOBAL
+index falls outside the image to zero — which reproduces the
+zero-padding semantics of ops.filters.box_blur / forward_diff_grad
+exactly. The post-fx chain's cumulative stencil reach is
+5 + blur_ksize//2 rows (grad 1 + blur_k (k//2) + grad 1 + blur5 2 +
+blur3 1) = at most 12 for the ksize<=15 preset clamp, so the fixed
+16-row context always suffices, and the row overcompute ratio is
+(bh+32)/bh instead of the 3x a full-block-context scheme costs.
 """
 
 from __future__ import annotations
@@ -55,11 +59,17 @@ def _grad_mag(d: jnp.ndarray, row0_mask: jnp.ndarray) -> jnp.ndarray:
 
 def _postfx_kernel(bh, h, blur_ksize, feather_strength, heal_strength,
                    heal_threshold, do_feather, do_heal,
-                   w_t, w_m, w_b, d_t, d_m, d_b, f_t, f_m, f_b, out_ref):
+                   w_t2, w_t1, w_m, w_b1, w_b2,
+                   d_t2, d_t1, d_m, d_b1, d_b2,
+                   f_t2, f_t1, f_m, f_b1, f_b2, out_ref):
     i = pl.program_id(1)
-    warped = jnp.concatenate([w_t[0], w_m[0], w_b[0]], axis=1)  # [3, R, W]
-    dwarp = jnp.concatenate([d_t[0], d_m[0], d_b[0]], axis=0)  # [R, W]
-    orig = jnp.concatenate([f_t[:], f_m[:], f_b[:]], axis=1)  # [3, R, W]
+    warped = jnp.concatenate(
+        [w_t2[0], w_t1[0], w_m[0], w_b1[0], w_b2[0]], axis=1
+    )  # [3, R, W], R = bh + 32
+    dwarp = jnp.concatenate([d_t2[0], d_t1[0], d_m[0], d_b1[0], d_b2[0]],
+                            axis=0)  # [R, W]
+    orig = jnp.concatenate([f_t2[:], f_t1[:], f_m[:], f_b1[:], f_b2[:]],
+                           axis=1)  # [3, R, W]
     dt = warped.dtype
     r, w = dwarp.shape
     # compute dtype == image dtype: in bf16 image mode the whole post-fx
@@ -68,14 +78,12 @@ def _postfx_kernel(bh, h, blur_ksize, feather_strength, heal_strength,
     cdt = dt
     dwarp = dwarp.astype(cdt)
 
-    # global row of each context sublane; the clamped prev/next index maps
-    # duplicate border blocks, so rows outside the image are masked to the
-    # zero padding the XLA reference ops would have seen
+    # global row of each context sublane; the clamped context index maps
+    # duplicate border granules, so rows outside the image are masked to
+    # the zero padding the XLA reference ops would have seen
     row = jax.lax.broadcasted_iota(jnp.int32, (r, w), 0)
-    gidx = row + (i - 1) * bh  # intended global row (i=0 top ctx is < 0)
+    gidx = row + i * bh - 16  # intended global row (top ctx can be < 0)
     valid = jnp.logical_and(gidx >= 0, gidx < h)
-    # the clamped index maps load block 0 / block n-1 twice at the borders;
-    # those duplicate rows sit where out-of-image rows belong
     vmask = valid.astype(cdt)
     row0 = (gidx != 0).astype(cdt)
 
@@ -106,7 +114,7 @@ def _postfx_kernel(bh, h, blur_ksize, feather_strength, heal_strength,
         out = (one - p3 * m) * healed + p3 * m * soft
         out = jnp.minimum(jnp.maximum(out, zero), one)
 
-    out_ref[0] = out[:, bh : 2 * bh].astype(dt)
+    out_ref[0] = out[:, 16 : 16 + bh].astype(dt)
 
 
 def feather_heal_pallas(
@@ -125,12 +133,16 @@ def feather_heal_pallas(
 ):
     """Fused post-fx for both eyes. Semantics == feather_shift_edges
     followed by heal_missing_pixels (ops/edges.py). H must be a multiple
-    of block_rows (1080/8, 1080/120... callers pad or pick bh|H); context
-    reach requires block_rows >= 8."""
+    of block_rows and of 8 (context granules are 8 rows); the stencil
+    reach 5 + blur_ksize//2 must fit the fixed 16-row context
+    (blur_ksize <= 23; the preset clamp is 15)."""
     h, w = dleft.shape
     bh = block_rows
-    assert h % bh == 0 and bh >= 8, (h, bh)
+    assert h % bh == 0 and bh % 8 == 0 and h % 8 == 0, (h, bh)
+    assert 5 + blur_ksize // 2 <= 16, blur_ksize
     nb = h // bh
+    r8 = bh // 8  # context granule stride per block
+    ng = h // 8  # total granules
 
     warped = jnp.stack(
         [jnp.moveaxis(left, -1, 0), jnp.moveaxis(right, -1, 0)]
@@ -138,26 +150,40 @@ def feather_heal_pallas(
     dwarp = jnp.stack([dleft, dright]).astype(left.dtype)  # [2, H, W]
     fr = jnp.moveaxis(frame, -1, 0)  # [3, H, W]
 
-    def eye_spec(off):
+    # context granule index (in 8-row units) for offset o in
+    # {-2, -1, r8, r8+1}; clamped duplicates are masked in-kernel
+    def g(i, o):
+        return jnp.clip(i * r8 + o, 0, ng - 1)
+
+    def eye_spec(o, rows):
         return pl.BlockSpec(
-            (1, 3, bh, w),
-            lambda e, i, o=off: (e, 0, jnp.clip(i + o, 0, nb - 1), 0),
+            (1, 3, rows, w),
+            (lambda e, i: (e, 0, i, 0)) if o is None
+            else (lambda e, i, o=o: (e, 0, g(i, o), 0)),
             memory_space=pltpu.VMEM,
         )
 
-    def d_spec(off):
+    def d_spec(o, rows):
         return pl.BlockSpec(
-            (1, bh, w),
-            lambda e, i, o=off: (e, jnp.clip(i + o, 0, nb - 1), 0),
+            (1, rows, w),
+            (lambda e, i: (e, i, 0)) if o is None
+            else (lambda e, i, o=o: (e, g(i, o), 0)),
             memory_space=pltpu.VMEM,
         )
 
-    def f_spec(off):
+    def f_spec(o, rows):
         return pl.BlockSpec(
-            (3, bh, w),
-            lambda e, i, o=off: (0, jnp.clip(i + o, 0, nb - 1), 0),
+            (3, rows, w),
+            (lambda e, i: (0, i, 0)) if o is None
+            else (lambda e, i, o=o: (0, g(i, o), 0)),
             memory_space=pltpu.VMEM,
         )
+
+    ctx = (-2, -1, r8, r8 + 1)
+
+    def five(spec):
+        return [spec(ctx[0], 8), spec(ctx[1], 8), spec(None, bh),
+                spec(ctx[2], 8), spec(ctx[3], 8)]
 
     out = pl.pallas_call(
         functools.partial(
@@ -166,11 +192,9 @@ def feather_heal_pallas(
             bool(enable_feathering), bool(enable_healing),
         ),
         grid=(2, nb),
-        in_specs=[eye_spec(-1), eye_spec(0), eye_spec(1),
-                  d_spec(-1), d_spec(0), d_spec(1),
-                  f_spec(-1), f_spec(0), f_spec(1)],
+        in_specs=five(eye_spec) + five(d_spec) + five(f_spec),
         out_specs=pl.BlockSpec((1, 3, bh, w), lambda e, i: (e, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, 3, h, w), left.dtype),
-    )(warped, warped, warped, dwarp, dwarp, dwarp, fr, fr, fr)
+    )(*([warped] * 5 + [dwarp] * 5 + [fr] * 5))
     return jnp.moveaxis(out[0], 0, -1), jnp.moveaxis(out[1], 0, -1)
