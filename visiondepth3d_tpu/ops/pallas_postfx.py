@@ -117,6 +117,25 @@ def _postfx_kernel(bh, h, blur_ksize, feather_strength, heal_strength,
     out_ref[0] = out[:, 16 : 16 + bh].astype(dt)
 
 
+def pick_block_rows(h: int, w: int, dtype) -> int:
+    """Largest row block dividing ``h`` whose VMEM working set fits the
+    16 MB scoped limit (observed hard at 4K: bh=48 x 3840 f32 = 20.6 MB).
+
+    Per grid step the kernel holds (rows x w x itemsize each): one eye's
+    warped mid+context 3*(bh+32), the original frame 3*(bh+32), depth
+    bh+32, and the output 3*bh — double-buffered by Mosaic. Budget 10 MB
+    leaves headroom for intermediates.
+    """
+    item = jnp.dtype(dtype).itemsize
+    for bh in (64, 56, 48, 40, 32, 24, 16, 8):
+        if h % bh:
+            continue
+        rows = 2 * (10 * bh + 224)  # x2 double buffering
+        if rows * w * item <= 10 * 1024 * 1024:
+            return bh
+    return 8
+
+
 def feather_heal_pallas(
     left: jnp.ndarray,  # [H, W, 3]
     right: jnp.ndarray,

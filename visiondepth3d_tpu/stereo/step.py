@@ -195,10 +195,10 @@ def _dispatch_postfx(p: StereoParams, left, right, frame_i, dleft, dright):
     if backend == "pallas":
         from ..ops.pallas_postfx import feather_heal_pallas
 
-        # largest row-block dividing H with a comfortable VMEM window
-        # (context is a fixed 32 rows, so bigger blocks = less overcompute)
+        from ..ops.pallas_postfx import pick_block_rows
+
         h = left.shape[0]
-        bh = next(b for b in (64, 56, 48, 40, 32, 24, 16, 8) if h % b == 0)
+        bh = pick_block_rows(h, left.shape[1], left.dtype)
         return feather_heal_pallas(
             left, right, frame_i, dleft, dright,
             blur_ksize=p.blur_ksize,
