@@ -73,13 +73,21 @@ class DepthPredictor:
 
         @jax.jit
         def forward(params, frames01):  # [B, H, W, 3] in [0, 1]
-            x = resize_bilinear(frames01, (self._size, self._size),
-                                channel_last=True)
+            if self.dtype == "bfloat16":
+                # cast BEFORE the input resize: the source is u8 video, so
+                # bf16 loses nothing, and the [B, H, W, 3] -> [B, s, s, 3]
+                # resize matmuls halve their HBM traffic and run
+                # single-pass on the MXU
+                frames01 = frames01.astype(jnp.bfloat16)
+                x = resize_bilinear(frames01, (self._size, self._size),
+                                    channel_last=True, precision="default")
+            else:
+                x = resize_bilinear(frames01, (self._size, self._size),
+                                    channel_last=True)
             mean = jnp.asarray(self.mean, x.dtype)
             std = jnp.asarray(self.std, x.dtype)
             x = (x - mean) / std
             if self.dtype == "bfloat16":
-                x = x.astype(jnp.bfloat16)
                 params_c = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
             else:
                 params_c = params

@@ -130,17 +130,22 @@ def resize_bicubic(
 
 
 def _apply_separable(
-    img: jnp.ndarray, rh: np.ndarray, rw: np.ndarray, hwc: bool
+    img: jnp.ndarray, rh: np.ndarray, rw: np.ndarray, hwc: bool,
+    precision=None,
 ) -> jnp.ndarray:
     """Apply row/col resampling matrices to [..., H, W, C] (hwc) or
     [..., H, W].
 
-    Resampling weights are exact f32; force full-precision dots so the
-    resize is bit-stable (the MXU would otherwise run bf16 passes).
+    Resampling weights are exact f32; by default force full-precision
+    dots so the resize is bit-stable (the MXU would otherwise run bf16
+    passes). Callers resizing u8-source video in bf16 pass
+    ``precision="default"`` — single-pass MXU, half the HBM traffic.
     """
     import jax
 
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
+    if hp == "default":
+        hp = jax.lax.Precision.DEFAULT
     rh = jnp.asarray(rh, dtype=img.dtype)
     rw = jnp.asarray(rw, dtype=img.dtype)
     if hwc:
@@ -190,6 +195,7 @@ def resize_bilinear(
     out_hw: tuple[int, int],
     align_corners: bool = False,
     channel_last: bool | None = None,
+    precision=None,
 ) -> jnp.ndarray:
     """Bilinear resize to out_hw (torch F.interpolate parity).
 
@@ -210,6 +216,7 @@ def resize_bilinear(
         _linear_matrix(h, oh, align_corners),
         _linear_matrix(w, ow, align_corners),
         hwc,
+        precision=precision,
     )
 
 
