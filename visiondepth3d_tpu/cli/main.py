@@ -207,6 +207,38 @@ def cmd_scenes(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Run the BASELINE benchmark configs (benchmarks/RESULTS.md records
+    the v5e numbers). Config 2 is bench.py's 1080p headline; 1/3/4/5 are
+    the harness configs in benchmarks/run_configs.py."""
+    import json
+    import runpy
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    if not (root / "bench.py").exists():
+        print("bench harnesses not found (source checkout required: "
+              "bench.py / benchmarks/ live at the repo root)")
+        return 2
+    wanted = [int(x) for x in str(args.configs).split(",")]
+    for c in wanted:
+        if c == 2:
+            sys.argv = ["bench.py"]
+            runpy.run_path(str(root / "bench.py"), run_name="__main__")
+        else:
+            sys.path.insert(0, str(root / "benchmarks"))
+            import run_configs
+
+            try:
+                print(json.dumps(run_configs.CONFIGS[c]()), flush=True)
+            except Exception as e:  # same contract as the harness main
+                print(json.dumps({"metric": f"cfg{c}",
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
+    return 0
+
+
 def cmd_frames(args) -> int:
     from ..pipeline.image_pipeline import assemble_frames, extract_frames
 
@@ -311,6 +343,11 @@ def main(argv=None) -> int:
     fr.add_argument("--fps", type=float, default=24.0,
                     help="output frame rate on assemble")
 
+    bp = sub.add_parser("bench", help="run the standard benchmark configs "
+                                      "on the local accelerator")
+    bp.add_argument("--configs", default="2",
+                    help="comma list from 1-5 (2 = the 1080p headline)")
+
     mp = sub.add_parser("models", help="list the depth model catalog")
     mp.add_argument("--family", default=None, help="filter by family")
 
@@ -374,6 +411,8 @@ def main(argv=None) -> int:
         return cmd_depth(args)
     if args.cmd == "frames":
         return cmd_frames(args)
+    if args.cmd == "bench":
+        return cmd_bench(args)
     if args.cmd == "tools":
         return cmd_tools(args)
     if args.cmd == "audio":
