@@ -228,3 +228,51 @@ def test_frames_extract_assemble_roundtrip(tmp_path):
     for a, b in zip(decoded, back):
         # PNG is lossless; the only loss is the second 4:2:0 round-trip
         assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 3.0
+
+
+def test_full_product_chain(tmp_path):
+    """The reference's complete user journey as one chain: 2D clip ->
+    depth estimate (vd3d depth) -> stereo render (vd3d render) -> frame
+    interpolation (vd3d tools --rife). Catches interface drift between
+    the pipelines that the per-stage tests can't."""
+    import numpy as np
+
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+    from visiondepth3d_tpu.cli.main import main
+
+    src = tmp_path / "clip.y4m"
+    h, w, t = 48, 64, 6
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f = np.zeros((h, w, 3), np.uint8)
+            f[..., 0] = (xx * 3 + i * 5) % 256
+            f[..., 1] = yy * 4 % 256
+            f[..., 2] = 100
+            wr.write(f)
+
+    dep = tmp_path / "clip_depth.y4m"
+    rc = main(["depth", "--input", str(src), "--output", str(dep),
+               "--inference-size", "28", "--batch-size", "3",
+               "--allow-random-weights"])
+    assert rc == 0 and dep.exists()
+
+    sbs = tmp_path / "clip_sbs.y4m"
+    rc = main(["render", "--input", str(src), "--depth", str(dep),
+               "--output", str(sbs), "--format", "Full-SBS",
+               "--height", "48", "--preserve-aspect",
+               "--chunk-size", "3"])
+    assert rc == 0
+    with Y4MReader(sbs) as rd:
+        frames = list(rd)
+    assert len(frames) == t and frames[0].shape == (h, 2 * w, 3)
+
+    out = tmp_path / "clip_2x.y4m"
+    rc = main(["tools", "--input", str(sbs), "--output", str(out),
+               "--rife", "--multiplier", "2", "--chunk-size", "3",
+               "--allow-random-weights"])
+    assert rc == 0
+    with Y4MReader(out) as rd:
+        doubled = list(rd)
+    # 2t-1: one in-between per consecutive pair, none after the last frame
+    assert len(doubled) == 2 * t - 1 and abs(rd.fps - 48.0) < 1e-3
