@@ -126,3 +126,38 @@ def test_local_model_discovery(tmp_path):
     (tmp_path / "junk").mkdir()
     found2 = registry.discover_local_models(str(tmp_path))
     assert "[Local] junk" not in found2
+
+
+def test_save_load_local_roundtrip(tmp_path):
+    """vd3d convert's persistence: params tree -> [Local] folder
+    (model.safetensors + vd3d.json) -> load_predictor('local:...')
+    reproduces the exact tree and a working predictor."""
+    import numpy as np
+    import jax
+
+    from visiondepth3d_tpu.depth import DA_TINY, init_random
+    from visiondepth3d_tpu.depth.registry import (
+        discover_local_models,
+        load_predictor,
+        save_local_params,
+    )
+
+    params = init_random(DA_TINY, size=28)
+    root = tmp_path / "my_model"
+    save_local_params(str(root), "depth-anything-v2-small", params)
+    assert (root / "model.safetensors").exists()
+    assert (root / "vd3d.json").exists()
+
+    pred = load_predictor(f"local:{root}", inference_size=28,
+                          config=DA_TINY)
+    chex = jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, jax.tree.map(np.asarray, pred.params))
+    del chex
+    d = pred(np.zeros((1, 28, 28, 3), np.float32))
+    assert np.isfinite(np.asarray(d)).all()
+
+    # folder discovery surfaces it as a "[Local] ..." entry
+    found = discover_local_models(str(tmp_path))
+    assert any("my_model" in k for k in found)

@@ -207,6 +207,29 @@ def cmd_scenes(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """One-time checkpoint conversion (the reference converts implicitly
+    at model-load, render_depth.py:728-829; here the converted tree is
+    persisted as a [Local] folder so later loads skip the torch pass)."""
+    from ..depth.registry import load_predictor, save_local_params
+
+    pred = load_predictor(args.model, args.checkpoint,
+                          inference_size=args.inference_size)
+    params = getattr(pred, "params", None)
+    if params is None:
+        print(f"{args.model}: family does not expose a single params tree "
+              "(diffusion pipelines load from their checkpoint dir "
+              "directly — point --checkpoint at the converted dir instead)")
+        return 2
+    import numpy as np
+
+    host = __import__("jax").tree.map(np.asarray, params)
+    save_local_params(args.output, args.model, host)
+    print(f"converted {args.checkpoint} -> {args.output} "
+          f"(load with --model 'local:{args.output}')")
+    return 0
+
+
 def cmd_bench(args) -> int:
     """Run the BASELINE benchmark configs (benchmarks/RESULTS.md records
     the v5e numbers). Config 2 is bench.py's 1080p headline; 1/3/4/5 are
@@ -343,6 +366,19 @@ def main(argv=None) -> int:
     fr.add_argument("--fps", type=float, default=24.0,
                     help="output frame rate on assemble")
 
+    cv = sub.add_parser("convert", help="convert an upstream checkpoint "
+                                        "once into a [Local] model folder")
+    cv.add_argument("--model", required=True,
+                    help="catalog entry naming the architecture "
+                         "(see vd3d models)")
+    cv.add_argument("--checkpoint", required=True,
+                    help="upstream weights (.safetensors / RIFE .onnx / "
+                         "diffusers dir, whatever the family's loader "
+                         "accepts)")
+    cv.add_argument("--output", required=True,
+                    help="folder to write model.safetensors + vd3d.json")
+    cv.add_argument("--inference-size", type=int, default=518)
+
     bp = sub.add_parser("bench", help="run the standard benchmark configs "
                                       "on the local accelerator")
     bp.add_argument("--configs", default="2",
@@ -413,6 +449,8 @@ def main(argv=None) -> int:
         return cmd_frames(args)
     if args.cmd == "bench":
         return cmd_bench(args)
+    if args.cmd == "convert":
+        return cmd_convert(args)
     if args.cmd == "tools":
         return cmd_tools(args)
     if args.cmd == "audio":

@@ -422,3 +422,36 @@ _FAMILY_RESOLUTIONS = {
 def inference_resolutions(name: str) -> tuple:
     """Recommended square inference sizes for a catalog entry."""
     return _FAMILY_RESOLUTIONS.get(CATALOG[name].family, (384,))
+
+
+def save_local_params(root: str, base_name: str, params) -> str:
+    """Write a converted params tree as a ``[Local]``-discoverable folder:
+    flat "a/b/c"-keyed ``model.safetensors`` + ``vd3d.json`` naming the
+    catalog entry whose architecture it holds. Inverse of
+    ``load_local_params`` (format "native"); the ``vd3d convert`` CLI
+    uses this so upstream checkpoints convert ONCE instead of on every
+    load."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    if base_name not in CATALOG:
+        raise KeyError(f"{base_name!r}: not a catalog entry")
+    os.makedirs(root, exist_ok=True)
+    flat: dict = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(params, "")
+    save_file(flat, os.path.join(root, "model.safetensors"))
+    with open(os.path.join(root, "vd3d.json"), "w") as f:
+        json.dump({"base": base_name, "format": "native"}, f, indent=2)
+    return root
