@@ -171,3 +171,34 @@ def test_params_dict_roundtrip_preserves_static_types():
     assert p1.blur_ksize == 7 and isinstance(p1.blur_ksize, int)
     assert p1.enable_healing is True
     assert isinstance(p1.enable_feathering, bool)
+
+
+def test_cli_lang_switches_messages(tmp_path, capsys):
+    """--lang routes user-facing CLI messages through the i18n packs
+    (VisionDepth3D.py:88-110 analog)."""
+    import numpy as np
+
+    from visiondepth3d_tpu.cli.main import main
+    from visiondepth3d_tpu.config.i18n import set_language, t
+    from visiondepth3d_tpu.io import Y4MWriter
+
+    set_language("fr")
+    assert t("render.done", frames=3, fps=1.0, output="x") != t.__doc__
+    fr = t("render.done", frames=3, fps=1.0, output="x")
+    set_language("en")
+    en = t("render.done", frames=3, fps=1.0, output="x")
+    assert fr != en and "3" in fr and "x" in fr
+
+    # end-to-end: a tiny render with --lang fr prints the french message
+    src, dep = tmp_path / "c.y4m", tmp_path / "d.y4m"
+    for p in (src, dep):
+        with Y4MWriter(p, 48, 32, 24.0) as wr:
+            for i in range(2):
+                wr.write(np.full((32, 48, 3), 100 + i, np.uint8))
+    rc = main(["--lang", "fr", "render", "--input", str(src),
+               "--depth", str(dep), "--output", str(tmp_path / "o.y4m"),
+               "--height", "32", "--preserve-aspect", "--chunk-size", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert fr.split("{")[0][:10] in out or "2" in out
+    set_language("en")

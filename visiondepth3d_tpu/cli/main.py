@@ -20,6 +20,7 @@ import sys
 
 from ..pipeline.stereo_pipeline import RenderConfig, render_stereo_video
 from ..stereo import StereoParams
+from ..config.i18n import set_language, t
 from ..config.presets import load_builtin, load_preset, params_to_dict
 
 
@@ -117,7 +118,8 @@ def cmd_render(args) -> int:
 
     prog = render_stereo_video(args.input, args.depth, output, params, cfg,
                                progress_cb=progress)
-    print(f"\ndone: {prog.frames_done} frames @ {prog.fps:.2f} fps -> {output}")
+    print("\n" + t("render.done", frames=prog.frames_done, fps=prog.fps,
+                   output=output))
     return 0
 
 
@@ -175,7 +177,7 @@ def cmd_tools(args) -> int:
     n = run_merged_pipeline(args.input, output, cfg,
                             esrgan_params=esrgan_params,
                             rife_params=rife_params, progress_cb=progress)
-    print(f"\ndone: {n} frames -> {output}")
+    print("\n" + t("tools.done", frames=n, output=output))
     return 0
 
 
@@ -314,6 +316,9 @@ def cmd_preview(args) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vd3d",
                                  description="TPU-native 2D->3D video suite")
+    ap.add_argument("--lang", default=None, metavar="LANG",
+                    help="message language (en/fr/de/es/ja; also "
+                         "VD3D_LANG env)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _build_render_parser(sub)
 
@@ -439,6 +444,11 @@ def main(argv=None) -> int:
                          "re-render on every save (debounced)")
 
     args = ap.parse_args(argv)
+    import os
+
+    lang = args.lang or os.environ.get("VD3D_LANG")
+    if lang:
+        set_language(lang)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "models":

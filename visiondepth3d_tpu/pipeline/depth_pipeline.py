@@ -493,5 +493,7 @@ def render_depth_video(args) -> int:
         print(f"\r{n} frames | {fps:.2f} fps", end="", flush=True)
 
     n = render_depth_video_file(args.input, output, cfg, progress)
-    print(f"\ndone: {n} frames -> {output}")
+    from ..config.i18n import t
+
+    print("\n" + t("depth.done", frames=n, output=output))
     return 0
