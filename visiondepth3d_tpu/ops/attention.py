@@ -21,11 +21,12 @@ import jax
 import jax.numpy as jnp
 
 # The Pallas flash kernel loses to the bf16-softmax path at the depth
-# model's shape on v5e ([8, 6, N, 64] per call): default blocks 3592 us,
-# tuned blocks (block_q=N_pad, block_k=512) 1160 us at N_pad=1536 — but the
-# bf16-softmax path runs at the TRUE length (1370: ~1040 us) and wins
-# because flash must pad to the 512 block multiple. Off by default; flip on
-# for shapes that are already block-aligned.
+# model's shape on v5e. B=8 (r1): default blocks 3592 us, tuned 1160 at
+# N_pad=1536 vs bf16-softmax ~1040 at the true 1370. B=16 (r2): tuned
+# flash (block_q=512, block_k=512) 2023 us unmasked at 1536, but with the
+# pad + SegmentIds masking the production path needs it is 2249 us vs
+# 2304 for bf16-softmax — inside noise. Off by default; flip on for
+# shapes that are already block-aligned (no pad, no mask).
 USE_FLASH = False
 
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
