@@ -210,14 +210,16 @@ def config4():
 
     cfg = EnhanceConfig(esrgan_nb=6)  # nb=6 keeps the bench model HBM-sized
     ep, rp = init_enhance_params(cfg)
-    ep, rp = _jax.device_put(ep), _jax.device_put(rp)  # no per-call tx
+    # bf16 conv stacks (EnhanceConfig.dtype="bfloat16" production mode)
+    ep = _jax.device_put(_jax.tree.map(lambda p: p.astype(jnp.bfloat16), ep))
+    rp = _jax.device_put(_jax.tree.map(lambda p: p.astype(jnp.bfloat16), rp))
     esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=4)
     rife = IFNet(scales=cfg.rife_scales)
 
     @jax.jit
     def pipe(ep, rp, fu8):
         def chunk(_, acc):
-            x = fu8.astype(jnp.float32) / 255.0
+            x = fu8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             # 4K x4 activations blow HBM if run whole-frame (measured:
             # 15.9G program); tile spatially exactly like the reference's
             # ESRGAN tiler (merged_pipeline.py:269-284)

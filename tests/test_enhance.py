@@ -178,3 +178,28 @@ def test_merged_pipeline_upscaled_output_size(tmp_path):
     with Y4MReader(dst) as rd:
         assert (rd.width, rd.height) == (w * 2, h * 2)
         assert len(list(rd)) == t
+
+
+def test_enhance_bf16_close_to_f32(tmp_path):
+    """EnhanceConfig(dtype='bfloat16') output within a few u8 steps of the
+    f32 path (u8 source, u8 sink — bf16 mantissa covers it)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.enhance import EnhanceConfig, init_enhance_params
+    from visiondepth3d_tpu.enhance.pipeline import make_enhance_fn
+
+    cfg32 = EnhanceConfig(esrgan_nb=2, esrgan_nf=16, use_rife=True,
+                          fps_multiplier=2, esrgan_scale=2,
+                          keep_original_size=True)
+    ep, rp = init_enhance_params(cfg32)
+    cfg16 = EnhanceConfig(**{**cfg32.__dict__, "dtype": "bfloat16"})
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 32, 48, 3)).astype(np.uint8)
+    f32 = make_enhance_fn(cfg32, ep, rp, (32, 48))
+    f16 = make_enhance_fn(cfg16, ep, rp, (32, 48))
+    o32 = np.asarray(f32(jnp.asarray(frames))).astype(np.int32)
+    o16 = np.asarray(f16(jnp.asarray(frames))).astype(np.int32)
+    assert o32.shape == o16.shape
+    assert np.mean(np.abs(o32 - o16)) < 3.0
+    assert np.percentile(np.abs(o32 - o16), 99) <= 12

@@ -156,6 +156,7 @@ def cmd_tools(args) -> int:
         fps_multiplier=args.multiplier,
         chunk_size=args.chunk_size,
         allow_random_weights=args.allow_random_weights,
+        dtype=getattr(args, "dtype", "float32"),
     )
     esrgan_params = rife_params = None
     if args.esrgan_weights:
@@ -403,6 +404,10 @@ def main(argv=None) -> int:
     tp.add_argument("--blend", default="OFF",
                     choices=["OFF", "LOW", "MEDIUM", "HIGH"])
     tp.add_argument("--chunk-size", type=int, default=4)
+    tp.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16: bf16 conv stacks (2x MXU throughput, "
+                         "<1 u8 step output delta)")
     tp.add_argument("--esrgan-weights", default=None,
                     help="Real-ESRGAN RRDBNet .safetensors checkpoint")
     tp.add_argument("--rife-weights", default=None,

@@ -41,6 +41,10 @@ class EnhanceConfig:
     # convert_rife); random weights produce garbage output, so they must be
     # opted into explicitly (tests, shape checks, benchmarks).
     allow_random_weights: bool = False
+    # "bfloat16": run the RRDBNet/IFNet conv stacks in bf16 (params cast in
+    # the graph, u8 output contract unchanged) — the u8 source means bf16
+    # costs <1 u8 step while the MXU convs double their throughput
+    dtype: str = "float32"
 
 
 def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
@@ -54,16 +58,23 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
     esrgan_params = jax.device_put(esrgan_params)
     rife_params = jax.device_put(rife_params)
 
+    cdt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
     @jax.jit
     def fn(frames_u8):
-        x = frames_u8.astype(jnp.float32) / 255.0
+        if cfg.dtype == "bfloat16":
+            ep_c = jax.tree.map(lambda p: p.astype(cdt), esrgan_params)
+            rp_c = jax.tree.map(lambda p: p.astype(cdt), rife_params)
+        else:
+            ep_c, rp_c = esrgan_params, rife_params
+        x = frames_u8.astype(cdt) / jnp.asarray(255.0, cdt)
         if cfg.use_esrgan:
             if cfg.pre_downscale < 1.0:
                 dh, dw = int(h * cfg.pre_downscale), int(w * cfg.pre_downscale)
                 x_in = resize_area(x, (dh, dw))
             else:
                 x_in = x
-            up = esrgan.apply({"params": esrgan_params}, x_in)
+            up = esrgan.apply({"params": ep_c}, x_in)
             up = jnp.clip(up, 0.0, 1.0)
             if cfg.keep_original_size:
                 up = resize_area(up, (h, w))
@@ -77,7 +88,7 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
             frames_out = [x[:-1]]
             for k in range(1, cfg.fps_multiplier):
                 mid = rife.apply(
-                    {"params": rife_params}, img0, img1, k / cfg.fps_multiplier
+                    {"params": rp_c}, img0, img1, k / cfg.fps_multiplier
                 )
                 frames_out.append(mid)
             # interleave: [T-1, mult, H, W, 3] -> [(T-1)*mult, ...] then append
@@ -86,6 +97,7 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
             t1 = stacked.reshape((-1,) + x.shape[1:])
             x = jnp.concatenate([t1, x[-1:]], axis=0)
 
+        x = x.astype(jnp.float32)
         return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
     return fn

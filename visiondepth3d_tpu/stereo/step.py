@@ -193,9 +193,7 @@ def _dispatch_postfx(p: StereoParams, left, right, frame_i, dleft, dright):
         backend = ("pallas" if jax.default_backend() == "tpu"
                    and h % 8 == 0 else "xla")
     if backend == "pallas":
-        from ..ops.pallas_postfx import feather_heal_pallas
-
-        from ..ops.pallas_postfx import pick_block_rows
+        from ..ops.pallas_postfx import feather_heal_pallas, pick_block_rows
 
         h = left.shape[0]
         bh = pick_block_rows(h, left.shape[1], left.dtype)
