@@ -114,7 +114,7 @@ from .zoedepth import ZoeDepthConfig as _ZoeCfg
 _add(ModelEntry("zoedepth-nyu", "zoedepth", _ZoeCfg(),
                 "Intel/zoedepth-nyu", ("ZoeDepth",)))
 from .depth_pro import DepthProConfig as _DPConfig
-from .vda import VDA_TINY as _VDA_TINY, VDAConfig as _VDAConfig
+from .vda import VDAConfig as _VDAConfig
 
 _add(ModelEntry("depth-pro", "depth_pro", _DPConfig(), "apple/DepthPro-hf",
                 ("DepthPro",)))
