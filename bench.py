@@ -42,11 +42,12 @@ def main():
     from visiondepth3d_tpu.stereo import StereoParams
     from visiondepth3d_tpu.stereo.step import render_chunk
 
-    T = 16  # frames per depth-inference batch / stereo scan chunk
-    #        (T=8 -> 151.8 fps, T=16 -> 160.2: bigger MXU batches for the
-    #        ViT + fewer scan-boundary stalls; 16 x 1080p f32 stays well
-    #        inside HBM with donation)
-    K = 32  # chunks per device launch (amortizes the relay's ~2 s
+    T = 32  # frames per depth-inference batch / stereo scan chunk
+    #        (sweep with device-resident params: T=8 151.8 -> T=16 173.7
+    #        -> T=32 214.6 -> T=48 184 -> T=64 205; bigger ViT batches
+    #        amortize attention padding and scan-boundary stalls, T=32 is
+    #        the HBM/occupancy sweet spot on v5e)
+    K = 16  # chunks per device launch (amortizes the relay's ~2 s
     #         per-launch dispatch overhead, another tunnel-only artifact);
     #         fori_loop keeps the compiled graph single-chunk-sized
     H, W = 1080, 1920
