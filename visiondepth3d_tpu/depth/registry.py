@@ -68,17 +68,19 @@ _add(ModelEntry(
 _add(ModelEntry(
     "depth-anything-v1-large", "dpt_dinov2", configs.DA_V2_LARGE,
     "LiheYoung/depth-anything-large-hf",
-    ("Depth Anything V1 Large",),
+    # vitl14 is the pre-hf upload of the same ViT-L architecture
+    ("Depth Anything V1 Large", "vitl14"),
 ))
 _add(ModelEntry(
     "distill-any-depth-small", "dpt_dinov2", configs.DA_V2_SMALL,
     "xingyang1/Distill-Any-Depth-Small-hf",
-    ("Distill Any Depth Small",),
+    # keetrap/* are re-uploads of the same checkpoints (render_depth.py:694-695)
+    ("Distil-Any-Depth-Small", "keetrap-Distil-Any-Depth-Small"),
 ))
 _add(ModelEntry(
     "distill-any-depth-large", "dpt_dinov2", configs.DA_V2_LARGE,
     "xingyang1/Distill-Any-Depth-Large-hf",
-    ("Distill Any Depth Large",),
+    ("Distil-Any-Depth-Large", "keetrap-Distil-Any-Depth-Large"),
 ))
 _add(ModelEntry(
     "depth-anything-v2-metric-indoor", "dpt_dinov2",
@@ -94,7 +96,8 @@ _add(ModelEntry(
 ))
 _add(ModelEntry(
     "marigold", "diffusion", None, "prs-eth/marigold-depth-v1-0",
-    ("Marigold Depth (Diffusion)", "marigold-depth-v1-0"),
+    ("Marigold Depth (Diffusers)", "marigold-depth-v1-0",
+     "marigold-depth-v1-1"),
 ))
 _add(ModelEntry(
     "depthcrafter", "diffusion", None, "tencent/DepthCrafter",
@@ -104,7 +107,8 @@ _add(ModelEntry(
 from .dpt_classic import DPT_LARGE
 
 _add(ModelEntry("dpt-large", "dpt_classic", DPT_LARGE, "Intel/dpt-large",
-                ("DPT-Large", "MiDaS 3.0")))
+                # Manojb/dpt-large is a mirror of Intel/dpt-large
+                ("DPT-Large", "Manojb - DPT-Large")))
 from .dpt_beit import DPT_BEIT_LARGE_512
 
 _add(ModelEntry("dpt-beit-large-512", "dpt_beit", DPT_BEIT_LARGE_512,
