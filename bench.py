@@ -43,10 +43,10 @@ def main():
     from visiondepth3d_tpu.stereo.step import render_chunk
 
     T = 32  # frames per depth-inference batch / stereo scan chunk
-    #        (sweep with device-resident params: T=8 151.8 -> T=16 173.7
-    #        -> T=32 214.6 -> T=48 184 -> T=64 205; bigger ViT batches
-    #        amortize attention padding and scan-boundary stalls, T=32 is
-    #        the HBM/occupancy sweet spot on v5e)
+    #        NOTE: the r2 T-sweep (T=8 151.8 .. T=32 214.6) was run before
+    #        the loop-invariant-hoisting fix below and measured depth at
+    #        1/K of its true cost; honest split at T=32 is depth 3.7 +
+    #        stereo 4.2 ms/frame (benchmarks/headline_split.py)
     K = 16  # chunks per device launch (amortizes the relay's ~2 s
     #         per-launch dispatch overhead, another tunnel-only artifact);
     #         fori_loop keeps the compiled graph single-chunk-sized
@@ -71,7 +71,13 @@ def main():
     def pipeline(model_params, trackers, frames_u8):  # [T, H, W, 3] u8
         def chunk(_, carry):
             tr, acc = carry
-            frames = frames_u8.astype(jnp.float32) / 255.0
+            # chain the chunk's input on the previous chunk's checksum:
+            # without this, frames/depths are loop-invariant and XLA hoists
+            # the ENTIRE depth stage out of the K-loop (measured: 214 "fps"
+            # vs the honest 122 — the pre-r2-fix numbers had this flaw).
+            # In production every chunk is new frames; model that.
+            perturbed = frames_u8 + (acc % 2).astype(jnp.uint8)
+            frames = perturbed.astype(jnp.float32) / 255.0
             depths = pred.predict_01(frames, out_hw=(H, W))
             tr, outs = render_chunk(params, tr, frames, depths)
             packed = jnp.concatenate([outs.left, outs.right], axis=2)

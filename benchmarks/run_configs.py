@@ -61,7 +61,9 @@ def config1():
     def pipe(mp, tr, fu8):
         def chunk(_, carry):
             t, acc = carry
-            f = fu8.astype(jnp.float32) / 255.0
+            # chain on the carry: loop-invariant inputs let XLA hoist the
+            # whole depth stage out of the K-loop (the bench.py r2 bug)
+            f = (fu8 + (acc % 2).astype(jnp.uint8)).astype(jnp.float32) / 255.0
             d = pred.predict_01(f, out_hw=(H, W))
             t, outs = render_chunk(params, t, f, d)
             half = jnp.concatenate(
@@ -219,7 +221,8 @@ def config4():
     @jax.jit
     def pipe(ep, rp, fu8):
         def chunk(_, acc):
-            x = fu8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            # carry-chained input (see config1 hoisting note)
+            x = (fu8 + (acc % 2).astype(jnp.uint8)).astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             # 4K x4 activations blow HBM if run whole-frame (measured:
             # 15.9G program); tile spatially exactly like the reference's
             # ESRGAN tiler (merged_pipeline.py:269-284)
