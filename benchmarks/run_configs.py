@@ -230,11 +230,18 @@ def config4():
 
             def one(frame):
                 tiles, _ = extract_tiles(frame, (360, 480), overlap=0)
-                def up_tile(tile):
-                    u = esrgan.apply({"params": ep}, tile[None])[0]
+                # batch G tiles per ESRGAN call: B=1 convs at 32/64
+                # channels underfill the MXU (measured 3.2 -> see
+                # RESULTS.md); G=4 keeps the x4 tail's activations
+                # HBM-sized (4 x 1440x1920x64 bf16 = 1.4 GB transient)
+                g = 4
+                n = tiles.shape[0]
+                grouped = tiles.reshape(n // g, g, *tiles.shape[1:])
+                def up_group(batch):
+                    u = esrgan.apply({"params": ep}, batch)
                     u8 = (jnp.clip(u * 255 + 0.5, 0, 255)).astype(jnp.uint8)
                     return jnp.sum(u8.astype(jnp.int32))
-                return jnp.sum(lax.map(up_tile, tiles))
+                return jnp.sum(lax.map(up_group, grouped))
 
             up_sum = jnp.sum(lax.map(one, x))
             mid = rife.apply({"params": rp}, x[:-1], x[1:], 0.5)

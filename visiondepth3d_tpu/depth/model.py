@@ -62,6 +62,13 @@ class DepthPredictor:
         # measured 19.4 s/frame for BEiT-L through the axon tunnel vs
         # 133 ms with device-resident params. On any rig this avoids a
         # per-batch host->HBM copy of the whole checkpoint.
+        # bf16 predictors: cast ONCE here, not per forward call — an
+        # in-graph tree cast re-streams the full f32 checkpoint through
+        # HBM every chunk (1.8 GB/chunk for BEiT-L).
+        if self.dtype == "bfloat16":
+            self.params = jax.tree.map(
+                lambda p: jnp.asarray(p).astype(jnp.bfloat16), self.params
+            )
         self.params = jax.device_put(self.params)
         patch = self.snap_multiple
         if patch is None:
@@ -87,11 +94,7 @@ class DepthPredictor:
             mean = jnp.asarray(self.mean, x.dtype)
             std = jnp.asarray(self.std, x.dtype)
             x = (x - mean) / std
-            if self.dtype == "bfloat16":
-                params_c = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
-            else:
-                params_c = params
-            depth = self.model.apply({"params": params_c}, x)
+            depth = self.model.apply({"params": params}, x)
             if self.select is not None:
                 depth = depth[self.select]
             return depth.astype(jnp.float32)  # [B, s, s] raw relative depth

