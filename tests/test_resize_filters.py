@@ -89,15 +89,18 @@ def test_sharpen_reference_formula(rgb_frame):
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=0)
 
 
-def test_bilinear_gather_path_matches_torch(rng):
-    # sizes above the matrix limit take the runtime-gather path
+def test_bilinear_big_size_path_matches_torch(rng):
+    # sizes above the matrix limit take the device-built matrix path; its
+    # exact integer src construction can differ from torch's f32 coordinate
+    # rounding by one weight ulp at large indices (~3.5e-5) — far below the
+    # u8 step (3.9e-3) the pipeline quantizes to
     img = rng.random((64, 518, 3), dtype=np.float32)
     for ac in (False, True):
         ours = np.asarray(
             resize.resize_bilinear(jnp.asarray(img), (64, 1920), ac)
         )
         ref = _torch_bilinear(img, (64, 1920), ac)
-        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=0)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=0)
 
 
 def test_area_gather_integer_pooling(rng):
