@@ -58,6 +58,7 @@ def main():
     pred = DepthPredictor(
         DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE),
         inference_size=SIZE, dtype="bfloat16",
+        fast_head=True,  # product default (DepthConfig.fast_head)
     )
     # bf16 image-plane stereo (stats/trackers stay f32; ~0.7 u8 step mean
     # delta vs f32, see tests/test_stereo_step.py) — measured 5.8 -> 5.0

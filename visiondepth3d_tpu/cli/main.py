@@ -356,6 +356,10 @@ def main(argv=None) -> int:
                          "--tile-size model tiles (high-res detail)")
     dp.add_argument("--tile-size", type=int, default=518,
                     help="model resolution per tile in tiled mode")
+    dp.add_argument("--exact-head", action="store_true",
+                    help="DA family: exact transformers head op order "
+                    "(upsample the 32-ch tensor before the last convs) "
+                    "instead of the default fast head")
     dp.add_argument("--tile-overlap", type=int, default=64,
                     help="tile overlap in working-resolution pixels")
 

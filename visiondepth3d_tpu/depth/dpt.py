@@ -93,7 +93,22 @@ class FeatureFusionLayer(nn.Module):
 
 
 class DPTNeckHead(nn.Module):
+    """DPT neck + 3-conv depth head.
+
+    ``fast_head=True`` commutes the head's mid-upsample past the last two
+    convs: head_conv2/head_conv3 run at the fused-feature resolution
+    (patch_grid*8, e.g. 296^2 for DA at 518^2) and the single-channel
+    depth is bilinearly upsampled at the end, instead of upsampling the
+    32-channel tensor first. Same parameters, ~3x fewer head FLOPs and
+    32x less resize traffic (measured 0.97 -> ~0.35 ms/frame for DA-V2-S
+    bf16 on v5e); output differs from the exact order only by the
+    interpolation/conv commutation (see tests/test_depth_models.py
+    fast-head bound). Default False = exact transformers order for
+    converter parity.
+    """
+
     cfg: DPTConfig
+    fast_head: bool = False
 
     @nn.compact
     def __call__(self, feats, grid_hw):
@@ -128,7 +143,9 @@ class DPTNeckHead(nn.Module):
         f = cfg.fusion_hidden_size
         x = nn.Conv(f // 2, (3, 3), padding=((1, 1), (1, 1)), name="head_conv1")(x)
         p = cfg.backbone.patch_size
-        x = resize_bilinear(x, (gh * p, gw * p), align_corners=True, channel_last=True)
+        if not self.fast_head:
+            x = resize_bilinear(x, (gh * p, gw * p), align_corners=True,
+                                channel_last=True)
         x = nn.Conv(cfg.head_hidden_size, (3, 3), padding=((1, 1), (1, 1)),
                     name="head_conv2")(x)
         x = jax.nn.relu(x)
@@ -137,17 +154,23 @@ class DPTNeckHead(nn.Module):
             x = jax.nn.relu(x)
         else:
             x = jax.nn.sigmoid(x)
-        return x[..., 0] * cfg.max_depth  # [B, H, W]
+        x = x[..., 0] * cfg.max_depth  # [B, h, w]
+        if self.fast_head:
+            x = resize_bilinear(x, (gh * p, gw * p), align_corners=True,
+                                channel_last=False)
+        return x
 
 
 class DepthAnything(nn.Module):
     """Full model: DINOv2 backbone + DPT neck/head -> relative depth map."""
 
     cfg: DPTConfig
+    fast_head: bool = False
 
     @nn.compact
     def __call__(self, pixels):  # [B, H, W, 3] ImageNet-normalized
         feats, grid = Dinov2Backbone(
             self.cfg.backbone, self.cfg.out_indices, name="backbone"
         )(pixels)
-        return DPTNeckHead(self.cfg, name="neck_head")(feats, grid)
+        return DPTNeckHead(self.cfg, fast_head=self.fast_head,
+                           name="neck_head")(feats, grid)

@@ -53,10 +53,14 @@ class DepthPredictor:
     # override the inference-size snap (families whose valid sizes aren't
     # "multiple of the patch", e.g. DepthPro's power-of-two pyramid)
     snap_multiple: int | None = None
+    # run the DPT head's last two convs at feature resolution and upsample
+    # the 1-channel depth last (see DPTNeckHead.fast_head). Product default
+    # via DepthConfig; False keeps the exact transformers op order.
+    fast_head: bool = False
 
     def __post_init__(self):
         if self.model is None:
-            self.model = DepthAnything(self.cfg)
+            self.model = DepthAnything(self.cfg, fast_head=self.fast_head)
         # Commit params to the default device ONCE. Host numpy params
         # passed to a jitted forward are re-transferred on EVERY call —
         # measured 19.4 s/frame for BEiT-L through the axon tunnel vs

@@ -182,7 +182,8 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
             params = convert_depth_anything(
                 load_safetensors_state(checkpoint), cfg
             )
-        return DepthPredictor(cfg, params, inference_size, dtype=dtype)
+        return DepthPredictor(cfg, params, inference_size, dtype=dtype,
+                              fast_head=bool(family_kw.get("fast_head", False)))
     if entry.family == "dpt_beit":
         import jax
         import jax.numpy as jnp

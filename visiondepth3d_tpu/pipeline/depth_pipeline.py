@@ -51,6 +51,12 @@ class DepthConfig:
     tiled: bool = False
     tile_size: int = 518
     tile_overlap: int = 64
+    # DA-family head order: True (default) runs the DPT head's last two
+    # convs at feature resolution and upsamples the 1-channel depth last —
+    # same weights, ~3x fewer head FLOPs, output differs only by the
+    # resize/conv commutation (bounded in tests). --exact-head restores
+    # the transformers op order.
+    fast_head: bool = True
     # DepthCrafter route (render_depth.py:1830-1890 analog)
     target_fps: float = 15.0  # stride long clips down to this rate
     window_size: int = 24
@@ -124,7 +130,7 @@ def render_depth_video_file(
     pred = predictor or load_predictor(
         cfg.model, cfg.checkpoint,
         cfg.tile_size if cfg.tiled else cfg.inference_size,
-        dtype=cfg.dtype,
+        dtype=cfg.dtype, fast_head=cfg.fast_head,
     )
 
     # Letterbox: bootstrap on buffered probe frames (render_depth.py:1730),
@@ -483,6 +489,7 @@ def render_depth_video(args) -> int:
         tiled=getattr(args, "tiled", False),
         tile_size=getattr(args, "tile_size", 518),
         tile_overlap=getattr(args, "tile_overlap", 64),
+        fast_head=not getattr(args, "exact_head", False),
     )
     output = args.output
     if output is None:
