@@ -35,12 +35,14 @@ dep = jax.device_put(rng.random((T, H, W)).astype(np.float32))
 
 
 def timed(name, fn, iters=3):
+    # img/dep passed as explicit args: closed-over device arrays embed as
+    # HLO constants and overflow the relay's request body limit (HTTP 413)
     f = jax.jit(fn)
-    carry = f(jnp.float32(0))
+    carry = f(jnp.float32(0), img, dep)
     float(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = f(carry)
+        carry = f(carry, img, dep)
     float(carry)
     dt = (time.perf_counter() - t0) / (iters * K * T)
     print(json.dumps({"op": name, "ms_per_frame": round(dt * 1e3, 4)}),
@@ -49,26 +51,37 @@ def timed(name, fn, iters=3):
 
 def loop(body):
     """body: (x_img, x_dep) -> scalar contribution; K reps, carry-chained."""
-    def outer(acc):
+    def outer(acc, im, de):
         def step(_, a):
-            out = body(img + a * jnp.bfloat16(1e-30), dep + a * 1e-30)
+            out = body(im + a.astype(im.dtype) * jnp.asarray(1e-30, im.dtype),
+                       de + a * 1e-30)
             return a + out.astype(jnp.float32)
         return lax.fori_loop(0, K, step, acc)
     return outer
 
 
-# sharpen both eyes (3x3 conv, C=3, reflect-101)
-timed("sharpen_x2", loop(lambda fr, de: jnp.sum(
-    filters.sharpen(fr, 1.0).astype(jnp.float32)) * 2 * 0 + jnp.sum(
-    filters.sharpen(fr, 1.0)) + jnp.sum(filters.sharpen(fr, 0.8))))
+def scanned(per_frame):
+    """Run a per-frame [H, W, ...] op under lax.scan like production."""
+    def body(fr, de):
+        def step(c, xs):
+            f, d = xs
+            return c + per_frame(f, d), None
+        return lax.scan(step, jnp.float32(0), (fr, de))[0]
+    return body
+
+
+# sharpen both eyes (3x3 stencil, C=3, reflect-101)
+timed("sharpen_x2", loop(scanned(lambda f, d: jnp.sum(
+    filters.sharpen(f, 1.0)).astype(jnp.float32) + jnp.sum(
+    filters.sharpen(f, 0.8)).astype(jnp.float32))))
 
 # color grade both eyes
-timed("grade_x2", loop(lambda fr, de: jnp.sum(
-    grade.apply_color_grade(fr, 1.0, 1.0, 0.0)) + jnp.sum(
-    grade.apply_color_grade(fr, 1.1, 1.0, 0.0))))
+timed("grade_x2", loop(scanned(lambda f, d: jnp.sum(
+    grade.apply_color_grade(f, 1.0, 1.0, 0.0)).astype(jnp.float32) + jnp.sum(
+    grade.apply_color_grade(f, 1.1, 1.0, 0.0)).astype(jnp.float32))))
 
 # temporal EMA + percentile-EMA normalize over a scanned chunk
-def norm_chunk(fr, de):
+def norm_chunk(acc, fr, de):
     t0 = init_trackers(H, W)
 
     def body(c, d):
@@ -76,27 +89,23 @@ def norm_chunk(fr, de):
         c, dn = trk.percentile_ema_normalize(c, ds, 0.02, 0.98, 0.92, "hist")
         return c, jnp.sum(dn)
 
-    _, sums = lax.scan(body, t0, de)
-    return jnp.sum(sums)
+    def outer(_, a):
+        _, sums = lax.scan(body, t0, de + a * 1e-30)
+        return a + jnp.sum(sums)
+    return lax.fori_loop(0, K, outer, acc)
 
 
 timed("normalize_scan", norm_chunk)
 
-# subject histogram estimate x2 + pop shaping (per-frame via vmap)
-def shape_all(fr, de):
-    def one(d):
-        s = subject.estimate_subject_depth(d, "hist")
-        sh = shape_depth_for_pop(d, s, stretch_lo=0.05, stretch_hi=0.95,
-                                 depth_mid=0.5, gamma=0.85,
-                                 quantile_mode="hist")
-        return jnp.sum(sh) + subject.estimate_subject_depth(sh, "hist")
-    return jnp.sum(jax.vmap(one)(de))
-
-
-timed("subject_pop", shape_all)
+# subject histogram estimate x2 + pop shaping
+timed("subject_pop", loop(scanned(lambda f, d: (
+    lambda s: jnp.sum(shape_depth_for_pop(
+        d, s, stretch_lo=0.05, stretch_hi=0.95, depth_mid=0.5,
+        gamma=0.85, quantile_mode="hist")) + s
+)(subject.estimate_subject_depth(d, "hist")))))
 
 # u8 pack (the round-trip the chunk does at the end)
-timed("quantize_pack", loop(lambda fr, de: jnp.sum(
-    (jnp.clip(fr.astype(jnp.float32), 0, 1) * 255.0 + 0.5)
-    .astype(jnp.uint8).astype(jnp.float32))))
+timed("quantize_pack", loop(scanned(lambda f, d: jnp.sum(
+    (jnp.clip(f.astype(jnp.float32), 0, 1) * 255.0 + 0.5)
+    .astype(jnp.uint8).astype(jnp.float32)))))
 print("DONE", flush=True)

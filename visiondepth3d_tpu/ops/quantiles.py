@@ -88,6 +88,7 @@ def bisect_quantile_01(
     """
     q_in = jnp.asarray(q, dtype=x.dtype)
     qv = jnp.atleast_1d(q_in)
+    nq = qv.shape[0]
     flat = x.reshape(-1)
     if mask is not None:
         m = mask.reshape(-1).astype(x.dtype)
@@ -100,10 +101,19 @@ def bisect_quantile_01(
     hi = jnp.ones_like(qv)
     for _ in range(iters):
         mid = (lo + hi) * 0.5
-        le = (flat[None, :] <= mid[:, None]).astype(x.dtype)
-        if m is not None:
-            le = le * m[None, :]
-        frac = jnp.sum(le, axis=-1) / count
+        # One compare-and-reduce per quantile against a SCALAR threshold.
+        # The broadcast form `flat[None, :] <= mid[:, None]` materializes an
+        # [nq, N] f32 intermediate in HBM (measured 59 us/iteration at
+        # 1080p — 4x the cost of the 8 MB input read); scalar thresholds
+        # keep each pass a single fused read+reduce, and XLA multi-output
+        # fusion shares the read across the nq reduces.
+        fracs = []
+        for i in range(nq):
+            le = (flat <= mid[i]).astype(x.dtype)
+            if m is not None:
+                le = le * m
+            fracs.append(jnp.sum(le))
+        frac = jnp.stack(fracs) / count
         go_right = frac < qv
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid)
