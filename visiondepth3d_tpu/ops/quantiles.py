@@ -77,14 +77,17 @@ def bisect_quantile_01(
     x: jnp.ndarray,
     q,
     mask: jnp.ndarray | None = None,
-    iters: int = 16,
+    iters: int = 12,
 ) -> jnp.ndarray:
     """Quantile(s) of values in [0, 1] by bisection on the value axis.
 
     Each iteration is one fused compare+mean pass over the data (VPU work,
-    no sort, no scatter); ``iters=16`` resolves to 2^-16 in depth units —
-    far below the u8 step. Exactly matches the CDF-inversion semantics the
-    histogram method approximates, with less memory traffic.
+    no sort, no scatter); the default ``iters=12`` resolves to 2^-12 in
+    depth units — 2x finer than the 2048-bin histogram this replaced and
+    16x below the u8 step the reference pipeline quantizes depth to. Cost
+    is linear in ``iters`` (~16 us/iteration at 1080p). Exactly matches
+    the CDF-inversion semantics the histogram method approximates, with
+    less memory traffic.
     """
     q_in = jnp.asarray(q, dtype=x.dtype)
     qv = jnp.atleast_1d(q_in)
