@@ -65,3 +65,35 @@ def test_hist_median_close(rng):
     approx = float(q.hist_masked_median(jnp.asarray(x), jnp.asarray(mask)))
     exact = float(q.exact_masked_median(jnp.asarray(x), jnp.asarray(mask)))
     assert abs(approx - exact) <= 1.5 / q.DEFAULT_BINS + 1e-6
+
+
+def test_pallas_quantile_pair_matches_bisect(rng):
+    """VMEM-resident quantile-pair kernel (interpret mode) == XLA bisection,
+    bitwise: 0/1 predicate sums are exact in f32, so every bisection
+    decision is reduction-order independent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visiondepth3d_tpu.ops.pallas_stats import quantile_pair_pallas
+
+    x = jnp.asarray(rng.random((64, 256)).astype(np.float32))
+    qs = jnp.asarray([0.02, 0.98], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(quantile_pair_pallas(x, qs))
+    ref = np.asarray(q.bisect_quantile_01(x, qs, iters=12))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_subject_stats_matches_ops(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from visiondepth3d_tpu.ops.pallas_stats import subject_stats_pallas
+
+    x = jnp.asarray(rng.random((64, 128)).astype(np.float32))
+    valid = (x > 0.05) & (x < 0.95)
+    with pltpu.force_tpu_interpret_mode():
+        hist, count, median = subject_stats_pallas(x, 64)
+    np.testing.assert_array_equal(
+        np.asarray(hist), np.asarray(q.histogram_01(x, 64, valid)))
+    assert float(count) == float(jnp.sum(valid))
+    ref_med = float(q.hist_masked_median(x, valid))
+    assert abs(float(median) - ref_med) < 1e-7

@@ -184,12 +184,25 @@ def quantile_01(
 ) -> jnp.ndarray:
     """Quantile of values known to lie in [0, 1]. Dispatch on mode.
 
-    "hist" (the fast TPU path) now resolves via value-axis bisection — same
-    CDF semantics the fixed-bin histogram approximated, with 16 fused
-    compare+reduce passes instead of scatter/sort work.
+    "hist" (the fast TPU path) resolves via value-axis bisection — same
+    CDF semantics the fixed-bin histogram approximated, with fused
+    compare+reduce passes instead of scatter/sort work. On TPU, 2-D
+    unmasked quantile pairs take a VMEM-resident Pallas kernel (one HBM
+    read for all iterations, bitwise-identical decisions).
     """
     if mode == "exact":
         return exact_quantile(x, q, mask)
+    q_in = jnp.asarray(q, dtype=x.dtype)
+    if (
+        mask is None
+        and getattr(x, "ndim", 0) == 2
+        and q_in.size == 2
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_stats import fits_vmem, quantile_pair_pallas
+
+        if fits_vmem(x.shape):
+            return quantile_pair_pallas(x, q_in.reshape(2)).reshape(q_in.shape)
     return bisect_quantile_01(x, q, mask)
 
 

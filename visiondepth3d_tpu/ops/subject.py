@@ -28,8 +28,33 @@ def estimate_subject_depth(
     depth: jnp.ndarray, quantile_mode: QuantileMode = "hist"
 ) -> jnp.ndarray:
     """Histogram-peak subject depth of a [H, W] depth map in [0, 1] -> scalar."""
+    import jax
+
     h, w = depth.shape[-2], depth.shape[-1]
     crop = depth[..., h // 5 : h * 4 // 5, w // 5 : w * 4 // 5]
+    if (
+        quantile_mode != "exact"
+        and crop.ndim == 2
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_stats import fits_vmem, subject_stats_pallas
+
+        if fits_vmem(crop.shape):
+            # one VMEM pass computes hist + count + median (same semantics
+            # as the XLA ops below, see pallas_stats.py)
+            hist, count, median_depth = subject_stats_pallas(
+                crop, SUBJECT_HIST_BINS
+            )
+            peak_bin = jnp.argmax(hist)
+            subject_depth = (
+                peak_bin.astype(depth.dtype) + 0.5
+            ) / SUBJECT_HIST_BINS
+            smoothed = jnp.clip(
+                0.7 * subject_depth + 0.3 * median_depth, 0.0, 1.0
+            )
+            return jnp.where(
+                count < 20, jnp.asarray(0.5, depth.dtype), smoothed
+            )
     valid = (crop > 0.05) & (crop < 0.95)
     count = jnp.sum(valid)
 
