@@ -60,6 +60,7 @@ DPT_HYBRID_TINY = DPTHybridConfig(
 
 class DPTHybrid(nn.Module):
     cfg: DPTHybridConfig = DPT_HYBRID
+    fast_head: bool = False
 
     @nn.compact
     def __call__(self, pixels):  # [B, H, W, 3] normalized
@@ -136,12 +137,19 @@ class DPTHybrid(nn.Module):
         f = cfg.fusion_hidden_size
         x = nn.Conv(f // 2, (3, 3), padding=((1, 1), (1, 1)),
                     name="head_conv1")(fused)
-        x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
-                            align_corners=True, channel_last=True)
+        if not self.fast_head:
+            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                                align_corners=True, channel_last=True)
         x = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="head_conv2")(x)
         x = jax.nn.relu(x)
         x = nn.Dense(1, name="head_conv3")(x)
-        return jax.nn.relu(x)[..., 0]
+        out = jax.nn.relu(x)[..., 0]
+        if self.fast_head:
+            # same params, convs at half resolution, 1-ch upsample last
+            # (see dpt.DPTNeckHead.fast_head)
+            out = resize_bilinear(out, (out.shape[1] * 2, out.shape[2] * 2),
+                                  align_corners=True, channel_last=False)
+        return out
 
 
 def convert_dpt_hybrid(state: dict, cfg: DPTHybridConfig) -> dict:

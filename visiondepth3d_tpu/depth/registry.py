@@ -190,7 +190,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         from .dpt_beit import DPTBEiT, convert_dpt_beit
 
-        model = DPTBEiT(cfg)
+        model = DPTBEiT(cfg, fast_head=bool(family_kw.get("fast_head", False)))
         if checkpoint is None:
             s2 = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
@@ -207,7 +207,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         from .dpt_hybrid import DPTHybrid, convert_dpt_hybrid
 
-        model = DPTHybrid(cfg)
+        model = DPTHybrid(cfg, fast_head=bool(family_kw.get("fast_head", False)))
         if checkpoint is None:
             s = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
@@ -225,7 +225,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         from .convert_dpt import convert_dpt_classic
         from .dpt_classic import DPTClassic
 
-        model = DPTClassic(cfg)
+        model = DPTClassic(cfg, fast_head=bool(family_kw.get("fast_head", False)))
         if checkpoint is None:
             s = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
