@@ -30,7 +30,7 @@ from visiondepth3d_tpu.ops.resize import resize_bilinear
 T, K, H, W, SIZE = 32, 16, 1080, 1920, 518
 
 pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE),
-                      inference_size=SIZE, dtype="bfloat16")
+                      inference_size=SIZE, dtype="bfloat16", fast_head=True)
 rng = np.random.default_rng(0)
 frames_u8 = jax.device_put((rng.random((T, H, W, 3)) * 255).astype(np.uint8))
 x518 = jax.device_put(rng.standard_normal((T, SIZE, SIZE, 3)).astype(np.float32))

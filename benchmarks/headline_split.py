@@ -30,7 +30,7 @@ from visiondepth3d_tpu.stereo.step import render_chunk
 T, K, H, W, SIZE = 32, 16, 1080, 1920, 518
 
 pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=SIZE),
-                      inference_size=SIZE, dtype="bfloat16")
+                      inference_size=SIZE, dtype="bfloat16", fast_head=True)
 params = StereoParams(enable_healing=True, image_dtype="bfloat16"
                       ).with_shift_bound(W)
 
