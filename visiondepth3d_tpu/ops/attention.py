@@ -34,6 +34,17 @@ USE_FLASH = False
 # (benchmarks/attn_probe2.py measures it at the depth model's shape).
 USE_SPLASH = False
 
+# Custom single-pass VMEM kernel (ops/pallas_attention.py): whole K/V
+# resident per (batch, head), logits never touch HBM. Measured
+# (attn_probe3.py, bq=whole-seq): 84.8 us/frame/layer vs 86.5 bf16-softmax
+# at the DA shape [32,1370,6,64] — a tie; 168 vs 141 at the BEiT shape
+# [32,1025,16,64] — a loss. Attention at these shapes is floored by f32
+# VPU exp (~2.2 ms per 32-frame layer), which every exact implementation
+# pays; removing the logits HBM traffic buys nothing once XLA overlaps it.
+# Kept as an opt-in backend (and the groundwork for chips with native
+# bf16 EUP transcendentals, where the balance flips).
+USE_VMEM_KERNEL = False
+
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
 _BLOCK = 512  # the kernel's default major block; pad seq to a multiple
 
@@ -124,6 +135,11 @@ def multi_head_attention(q, k, v):
     """
     n = q.shape[1]
     if n >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+        if USE_VMEM_KERNEL:
+            from .pallas_attention import MAX_RESIDENT_SEQ, vmem_attention
+
+            if n <= MAX_RESIDENT_SEQ:
+                return vmem_attention(q, k, v)
         if USE_SPLASH:
             return _splash_bnhd(q, k, v)
         if USE_FLASH:
