@@ -11,7 +11,13 @@ Prints one JSON line per config. The headline driver metric stays in
 5. Marigold-architecture diffusion depth (fp16/bf16), 16-bit export path
 
 Measurement model matches bench.py: device-resident inputs, fori_loop of
-chunks per launch, checksum-forced outputs (axon-relay artifacts excluded).
+chunks per launch, checksum-forced outputs (axon-relay artifacts excluded),
+and — critically — every LAUNCH's arguments depend on the previous launch's
+result (the carried state). The axon relay dedups repeated identical
+(program, args) executions (observed as near-0 ms repeats,
+benchmarks/depth_split.py), so launching the same args in a timing loop
+measures the relay cache, not the chip. The original r2 harness had this
+flaw; numbers before the fix are struck in RESULTS.md.
 """
 
 from __future__ import annotations
@@ -23,14 +29,15 @@ import time
 import numpy as np
 
 
-def _timed_fps(pipeline, args, frames_per_launch: int, iters: int) -> float:
-    import jax
-
-    state, checksum = pipeline(*args)
+def _timed_fps(pipeline, state, rest, frames_per_launch: int,
+               iters: int) -> float:
+    """pipeline(state, *rest) -> (state, checksum); the carried state makes
+    each launch's args unique (see module docstring)."""
+    state, checksum = pipeline(state, *rest)
     _ = int(checksum)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, checksum = pipeline(*args)
+        state, checksum = pipeline(state, *rest)
     _ = int(checksum)
     dt = time.perf_counter() - t0
     return frames_per_launch * iters / dt
@@ -58,7 +65,7 @@ def config1():
     tr = init_trackers(H, W)
 
     @jax.jit
-    def pipe(mp, tr, fu8):
+    def pipe(carry, mp, fu8):
         def chunk(_, carry):
             t, acc = carry
             # chain on the carry: loop-invariant inputs let XLA hoist the
@@ -72,13 +79,14 @@ def config1():
             u8 = (jnp.clip(half * 255 + 0.5, 0, 255)).astype(jnp.uint8)
             return t, acc + jnp.sum(u8.astype(jnp.int32))
 
-        tr2, acc = lax.fori_loop(0, K, chunk, (tr, jnp.int32(0)))
-        return tr2, acc
+        carry = lax.fori_loop(0, K, chunk, carry)
+        return carry, carry[1]
 
     frames = jax.device_put(
         (np.random.default_rng(0).random((T, H, W, 3)) * 255).astype(np.uint8)
     )
-    fps = _timed_fps(lambda *a: pipe(*a), (pred.params, tr, frames), K * T, 3)
+    fps = _timed_fps(lambda s, *a: pipe(s, *a), (tr, jnp.int32(0)),
+                     (pred.params, frames), K * T, 3)
     return {"metric": "cfg1 360p small-depth + basic Half-SBS fps/chip",
             "value": round(fps, 2), "unit": "fps"}
 
@@ -123,33 +131,33 @@ def config3():
     tr = init_trackers(H, W)
 
     @jax.jit
-    def down_loop(fu8):
+    def down_loop(c, fu8):
         def it(_, acc):
             f = (fu8.astype(jnp.float32) + acc * 1e-30) / 255.0
             fs = resize_bilinear(f, (s, s), channel_last=True)
-            return acc + jnp.sum(fs)
-        return lax.fori_loop(0, K, it, jnp.float32(0))
+            return acc + jnp.sum(fs) * 1e-30
+        return lax.fori_loop(0, K, it, c)
 
     @jax.jit
-    def model_loop(mp, fs):
+    def model_loop(c, mp, fs):
         def it(_, acc):
             d = pred._forward(mp, fs + acc * 1e-30)
-            return acc + jnp.sum(d)
-        return lax.fori_loop(0, K, it, jnp.float32(0))
+            return acc + jnp.sum(d) * 1e-30
+        return lax.fori_loop(0, K, it, c)
 
     @jax.jit
-    def up_loop(d):
+    def up_loop(c, d):
         def it(_, acc):
             dd = d + acc * 1e-30
             lo = jnp.min(dd, axis=(1, 2), keepdims=True)
             hi = jnp.max(dd, axis=(1, 2), keepdims=True)
             d01 = (dd - lo) / jnp.maximum(hi - lo, 1e-6)
             d4k = resize_bilinear(d01, (H, W), channel_last=False)
-            return acc + jnp.sum(d4k)
-        return lax.fori_loop(0, K, it, jnp.float32(0))
+            return acc + jnp.sum(d4k) * 1e-30
+        return lax.fori_loop(0, K, it, c)
 
     @jax.jit
-    def stereo_loop(tr, f, d):
+    def stereo_loop(c, f, d):
         def chunk(_, carry):
             t, acc = carry
             t, outs = render_chunk(params, t, f + acc * 1e-30, d)
@@ -157,8 +165,8 @@ def config3():
                 lambda L, R: fmt_ops.format_3d_output(L, R, "VR")
             )(outs.left, outs.right)
             u8 = (jnp.clip(vr * 255 + 0.5, 0, 255)).astype(jnp.uint8)
-            return t, acc + jnp.sum(u8.astype(jnp.float32))
-        return lax.fori_loop(0, K, chunk, (tr, jnp.float32(0)))
+            return t, acc + jnp.sum(u8.astype(jnp.float32)) * 1e-30
+        return lax.fori_loop(0, K, chunk, c)
 
     rng = np.random.default_rng(0)
     frames = jax.device_put((rng.random((T, H, W, 3)) * 255).astype(np.uint8))
@@ -175,21 +183,26 @@ def config3():
         leaves = jax.tree.leaves(out)
         return float(jnp.asarray(leaves[-1]).sum())
 
-    def stage(name, fn, args):
-        scalar(fn(*args))
+    def stage(name, fn, carry, args):
+        # carry chains LAUNCHES: identical (program, args) repeats dedup
+        # in the relay (module docstring) and read as ~0 ms
+        carry = fn(carry, *args)
+        scalar(carry)
         print(f"cfg3: {name} compiled", file=sys.stderr, flush=True)
         t0 = _t.perf_counter()
         iters = 3
         for _ in range(iters):
-            out = fn(*args)
-        scalar(out)
+            carry = fn(carry, *args)
+        scalar(carry)
         return (_t.perf_counter() - t0) / (iters * K * T) * 1e3
 
     ms = {
-        "down": stage("down", down_loop, (frames,)),
-        "model": stage("model", model_loop, (pred.params, fs)),
-        "up": stage("up", up_loop, (d_model,)),
-        "stereo": stage("stereo", stereo_loop, (tr, f4k, d4k)),
+        "down": stage("down", down_loop, jnp.float32(0), (frames,)),
+        "model": stage("model", model_loop, jnp.float32(0),
+                       (pred.params, fs)),
+        "up": stage("up", up_loop, jnp.float32(0), (d_model,)),
+        "stereo": stage("stereo", stereo_loop, (tr, jnp.float32(0)),
+                        (f4k, d4k)),
     }
     total = sum(ms.values())
     return {"metric": "cfg3 4K VR BEiT-L depth + tracking + DOF fps/chip",
@@ -219,42 +232,32 @@ def config4():
     rife = IFNet(scales=cfg.rife_scales)
 
     @jax.jit
-    def pipe(ep, rp, fu8):
+    def pipe(acc0, ep, rp, fu8):
         def chunk(_, acc):
             # carry-chained input (see config1 hoisting note)
             x = (fu8 + (acc % 2).astype(jnp.uint8)).astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            # 4K x4 activations blow HBM if run whole-frame (measured:
-            # 15.9G program); tile spatially exactly like the reference's
-            # ESRGAN tiler (merged_pipeline.py:269-284)
-            from visiondepth3d_tpu.ops.tiling import extract_tiles
+            # staged execution (enhance/esrgan.py): RRDB trunk whole-frame
+            # at 1080p (Pallas small-channel convs), x4 tail tiled 2x4 so
+            # the 4K activations never exist whole (whole-graph measured
+            # 32.7 GB vs 15.75 HBM, benchmarks/esrgan_split.py)
+            from visiondepth3d_tpu.enhance.esrgan import apply_rrdbnet_staged
 
-            def one(frame):
-                tiles, _ = extract_tiles(frame, (360, 480), overlap=0)
-                # batch G tiles per ESRGAN call: B=1 convs at 32/64
-                # channels underfill the MXU (measured 3.2 -> see
-                # RESULTS.md); G=4 keeps the x4 tail's activations
-                # HBM-sized (4 x 1440x1920x64 bf16 = 1.4 GB transient)
-                g = 4
-                n = tiles.shape[0]
-                grouped = tiles.reshape(n // g, g, *tiles.shape[1:])
-                def up_group(batch):
-                    u = esrgan.apply({"params": ep}, batch)
-                    u8 = (jnp.clip(u * 255 + 0.5, 0, 255)).astype(jnp.uint8)
-                    return jnp.sum(u8.astype(jnp.int32))
-                return jnp.sum(lax.map(up_group, grouped))
-
-            up_sum = jnp.sum(lax.map(one, x))
+            u = apply_rrdbnet_staged(esrgan, ep, x,
+                                     tail_tile_hw=(270, 480), halo=2)
+            u8 = (jnp.clip(u * 255 + 0.5, 0, 255)).astype(jnp.uint8)
+            up_sum = jnp.sum(u8.astype(jnp.int32))
             mid = rife.apply({"params": rp}, x[:-1], x[1:], 0.5)
             m8 = (jnp.clip(mid * 255 + 0.5, 0, 255)).astype(jnp.uint8)
             return acc + up_sum + jnp.sum(m8.astype(jnp.int32))
 
-        acc = lax.fori_loop(0, K, chunk, jnp.int32(0))
-        return None, acc
+        acc = lax.fori_loop(0, K, chunk, acc0)
+        return acc, acc
 
     frames = jax.device_put(
         (np.random.default_rng(0).random((T, H, W, 3)) * 255).astype(np.uint8)
     )
-    fps = _timed_fps(lambda *a: pipe(*a), (ep, rp, frames), K * T, 2)
+    fps = _timed_fps(lambda s, *a: pipe(s, *a), jnp.int32(0),
+                     (ep, rp, frames), K * T, 2)
     return {"metric": "cfg4 RIFE 2x + ESRGAN x4 1080p->4K fps/chip",
             "value": round(fps, 2), "unit": "fps"}
 
@@ -272,13 +275,16 @@ def config5():
     pipe = tiny_marigold(steps=4)
     rng = np.random.default_rng(0)
     rgb = rng.random((4, 256, 256, 3), dtype=np.float32)
-    d = pipe(rgb)
-    d.block_until_ready()
+    # distinct seed per launch -> distinct noise arg (no relay dedup);
+    # float(sum) is the readback fence (block_until_ready is unreliable
+    # through the relay)
+    d = pipe(rgb, seed=999)
+    float(np.asarray(d).sum())
     t0 = _t.perf_counter()
     iters = 5
-    for _ in range(iters):
-        d = pipe(rgb)
-    d.block_until_ready()
+    for i in range(iters):
+        d = pipe(rgb, seed=i)
+        float(np.asarray(d).sum())
     dt = _t.perf_counter() - t0
     return {"metric": "cfg5 marigold-pipeline (tiny arch, 4 steps) imgs/s",
             "value": round(4 * iters / dt, 2), "unit": "img/s"}

@@ -203,3 +203,27 @@ def test_enhance_bf16_close_to_f32(tmp_path):
     assert o32.shape == o16.shape
     assert np.mean(np.abs(o32 - o16)) < 3.0
     assert np.percentile(np.abs(o32 - o16), 99) <= 12
+
+
+def test_rrdbnet_staged_matches_whole():
+    """apply_rrdbnet_staged (trunk whole, tail tiled w/ halo) == RRDBNet.apply
+    exactly, including true-border zero padding, for x4 and the
+    pixel-unshuffle x2 variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.enhance.esrgan import RRDBNet, apply_rrdbnet_staged
+
+    rng = np.random.default_rng(7)
+    for scale, hw in ((4, (24, 32)), (2, (24, 32))):
+        model = RRDBNet(nf=16, nb=2, gc=8, scale=scale)
+        x = jnp.asarray(rng.random((1, *hw, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        whole = model.apply({"params": params}, x)
+        # trunk output is (H, W)/unshuffle; tiles must divide it
+        fh = hw[0] // (4 // scale)
+        staged = apply_rrdbnet_staged(model, params, x,
+                                      tail_tile_hw=(fh // 2, 8), halo=2)
+        assert staged.shape == whole.shape
+        np.testing.assert_allclose(np.asarray(staged), np.asarray(whole),
+                                   atol=2e-6)

@@ -25,20 +25,72 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.2)
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME conv with optionally fused activation; drop-in for
+    nn.Conv(features, (3,3), padding=((1,1),(1,1))) — identical param tree.
+
+    On TPU, stride-1 3x3 convs at RRDBNet's 32-64 channels run at ~12% of
+    the bf16 MXU peak under XLA's lowering; the Pallas kernel
+    (ops/pallas_conv.py) measures 1.4x faster at the 1080p production
+    shape (benchmarks/RESULTS.md), so it is the default there. The XLA
+    path is kept for CPU, interpret-mode tests, and heights its row
+    blocking cannot divide.
+    """
+
+    features: int
+    act: str | None = None  # None | "relu" | "lrelu" (slope 0.2)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        from ..ops.pallas_conv import pick_conv_block_rows
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and x.shape[2] >= 256
+            and pick_conv_block_rows(x.shape[1], x.shape[2], c,
+                                     self.features) >= 4
+        )
+        if use_pallas:
+            from ..ops.pallas_conv import conv3x3_pallas
+
+            y = conv3x3_pallas(x, kernel.astype(x.dtype),
+                               None if bias is None else bias.astype(x.dtype),
+                               act=self.act)
+            return y
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        if self.act == "relu":
+            y = jax.nn.relu(y)
+        elif self.act == "lrelu":
+            y = jax.nn.leaky_relu(y, 0.2)
+        return y
+
+
 class ResidualDenseBlock(nn.Module):
     nf: int
     gc: int = 32
 
     @nn.compact
     def __call__(self, x):
-        def conv(n, out):
-            return nn.Conv(out, (3, 3), padding=((1, 1), (1, 1)), name=n)
+        def conv(n, out, act="lrelu"):
+            return Conv3x3(out, act=act, name=n)
 
-        x1 = _lrelu(conv("conv1", self.gc)(x))
-        x2 = _lrelu(conv("conv2", self.gc)(jnp.concatenate([x, x1], -1)))
-        x3 = _lrelu(conv("conv3", self.gc)(jnp.concatenate([x, x1, x2], -1)))
-        x4 = _lrelu(conv("conv4", self.gc)(jnp.concatenate([x, x1, x2, x3], -1)))
-        x5 = conv("conv5", self.nf)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        x1 = conv("conv1", self.gc)(x)
+        x2 = conv("conv2", self.gc)(jnp.concatenate([x, x1], -1))
+        x3 = conv("conv3", self.gc)(jnp.concatenate([x, x1, x2], -1))
+        x4 = conv("conv4", self.gc)(jnp.concatenate([x, x1, x2, x3], -1))
+        x5 = conv("conv5", self.nf, act=None)(
+            jnp.concatenate([x, x1, x2, x3, x4], -1))
         return x + 0.2 * x5
 
 
@@ -81,17 +133,131 @@ class RRDBNet(nn.Module):
         elif self.scale == 1:
             x = _pixel_unshuffle(x, 4)
 
-        def conv(n, out):
-            return nn.Conv(out, (3, 3), padding=((1, 1), (1, 1)), name=n)
+        def conv(n, out, act=None):
+            return Conv3x3(out, act=act, name=n)
 
         feat = conv("conv_first", self.nf)(x)
         trunk = feat
         for i in range(self.nb):
             trunk = RRDB(self.nf, self.gc, name=f"body{i}")(trunk)
         feat = feat + conv("conv_body", self.nf)(trunk)
-        feat = _lrelu(conv("conv_up1", self.nf)(_nearest_up2(feat)))
-        feat = _lrelu(conv("conv_up2", self.nf)(_nearest_up2(feat)))
-        feat = _lrelu(conv("conv_hr", self.nf)(feat))
+        feat = conv("conv_up1", self.nf, act="lrelu")(_nearest_up2(feat))
+        feat = conv("conv_up2", self.nf, act="lrelu")(_nearest_up2(feat))
+        feat = conv("conv_hr", self.nf, act="lrelu")(feat)
+        return conv("conv_last", 3)(feat)
+
+
+def apply_rrdbnet_staged(
+    model: RRDBNet,
+    params: dict,
+    x: jnp.ndarray,  # [B, H, W, 3]
+    tail_tile_hw: tuple[int, int],
+    halo: int = 2,
+) -> jnp.ndarray:
+    """RRDBNet with the x4 upsample tail tiled: trunk runs whole-frame at
+    input resolution, then conv_up1/up2/hr/last run per spatial tile with a
+    ``halo``-pixel zero context, and the 4x-scaled halo is cropped off.
+
+    EXACT parity with ``model.apply``. Two subtleties make it exact:
+    (1) the tail's receptive field is 2 trunk-res px (up1 1px at 2x +
+    up2/hr/last 1px each at 4x), so ``halo >= 2`` of real neighbor
+    context reproduces every interior pixel; (2) at TRUE image borders a
+    zero halo would NOT work — conv_up1(0) = bias != 0 propagates into
+    deeper convs where the whole-frame run sees SAME zero padding — so
+    tile windows are CLAMPED inside the image (edge tiles carry their
+    halo on the inner side only) and the convs' own zero padding lands
+    exactly at the real border. What it buys: the 4x tail's activations
+    at [B, 4H, 4W, nf] never exist whole — a 1080p -> 4K upscale that
+    OOMs as one graph (measured 32.7 GB vs 15.75 HBM, benchmarks/
+    esrgan_split.py) fits. Tile sizes must divide the trunk output size
+    and satisfy th + 2*halo <= H, tw + 2*halo <= W.
+
+    Reference analog: the ESRGAN overlap-pad tiler
+    (merged_pipeline.py:269-284) — the reference tiles the WHOLE network
+    per tile (paying the 23-RRDB trunk on every overlap); here only the
+    cheap tail is tiled and the trunk overlap cost is zero.
+    """
+    from jax import lax
+
+    ps = dict(params)
+    trunk_p = {k: v for k, v in ps.items()
+               if k.startswith(("conv_first", "body", "conv_body"))}
+    tail_p = {k: v for k, v in ps.items()
+              if k.startswith(("conv_up", "conv_hr", "conv_last"))}
+
+    trunk = _RRDBTrunk(model.nf, model.nb, model.gc, model.scale)
+    tail = _RRDBTail(model.nf)
+    feat = trunk.apply({"params": trunk_p}, x)
+
+    b, h, w, nf = feat.shape
+    th, tw = tail_tile_hw
+    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
+    assert th + 2 * halo <= h and tw + 2 * halo <= w, (h, w, th, tw, halo)
+
+    def win(i, t, size):
+        """Clamped window start + in-window crop offset (both static)."""
+        s = min(max(i * t - halo, 0), size - t - 2 * halo)
+        return s, i * t - s
+
+    spans = [
+        (win(ti, th, h), win(tj, tw, w))
+        for ti in range(h // th) for tj in range(w // tw)
+    ]
+    tiles = [
+        lax.dynamic_slice(feat, (0, sy, sx, 0),
+                          (b, th + 2 * halo, tw + 2 * halo, nf))
+        for (sy, _), (sx, _) in spans
+    ]
+    stack = jnp.stack(tiles)  # [nt, B, th+2h, tw+2h, nf]
+    ups = lax.map(lambda t: tail.apply({"params": tail_p}, t), stack)
+    crops = [
+        ups[i][:, 4 * cy : 4 * (cy + th), 4 * cx : 4 * (cx + tw)]
+        for i, ((_, cy), (_, cx)) in enumerate(spans)
+    ]
+    rows = [
+        jnp.concatenate(crops[ti * (w // tw) : (ti + 1) * (w // tw)], axis=2)
+        for ti in range(h // th)
+    ]
+    return jnp.concatenate(rows, axis=1)
+
+
+class _RRDBTrunk(nn.Module):
+    """conv_first -> nb x RRDB -> conv_body (+skip); param names match
+    RRDBNet so one converted checkpoint serves both paths."""
+
+    nf: int
+    nb: int
+    gc: int
+    scale: int
+
+    @nn.compact
+    def __call__(self, x):
+        if self.scale == 2:
+            x = _pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            x = _pixel_unshuffle(x, 4)
+
+        def conv(n, out):
+            return Conv3x3(out, name=n)
+
+        feat = conv("conv_first", self.nf)(x)
+        trunk = feat
+        for i in range(self.nb):
+            trunk = RRDB(self.nf, self.gc, name=f"body{i}")(trunk)
+        return feat + conv("conv_body", self.nf)(trunk)
+
+
+class _RRDBTail(nn.Module):
+    nf: int
+
+    @nn.compact
+    def __call__(self, feat):
+        def conv(n, out, act=None):
+            return Conv3x3(out, act=act, name=n)
+
+        feat = conv("conv_up1", self.nf, act="lrelu")(_nearest_up2(feat))
+        feat = conv("conv_up2", self.nf, act="lrelu")(_nearest_up2(feat))
+        feat = conv("conv_hr", self.nf, act="lrelu")(feat)
         return conv("conv_last", 3)(feat)
 
 

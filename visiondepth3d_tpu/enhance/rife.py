@@ -56,8 +56,16 @@ class ConvPReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), name="conv")(x)
+        if self.stride == 1:
+            # Pallas path for the stride-1 trunk convs (ops/pallas_conv.py;
+            # same param tree as nn.Conv, see esrgan.Conv3x3)
+            from .esrgan import Conv3x3
+
+            x = Conv3x3(self.out, name="conv")(x)
+        else:
+            x = nn.Conv(self.out, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=((1, 1), (1, 1)), name="conv")(x)
         return PReLU(self.out, name="prelu")(x)
 
 
@@ -73,7 +81,9 @@ class ResConv(nn.Module):
         if self.res_prelu:
             h = ConvPReLU(self.c, name="conv")(x)
             return x + h * beta
-        h = nn.Conv(self.c, (3, 3), padding=((1, 1), (1, 1)), name="conv")(x)
+        from .esrgan import Conv3x3
+
+        h = Conv3x3(self.c, name="conv")(x)
         return nn.leaky_relu(h * beta + x, 0.2)
 
 
