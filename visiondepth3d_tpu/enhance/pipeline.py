@@ -47,6 +47,30 @@ class EnhanceConfig:
     dtype: str = "float32"
 
 
+def _apply_esrgan(cfg: EnhanceConfig, esrgan, params, x):
+    """Monolithic apply for small frames; staged (trunk whole-frame, x4
+    tail tiled — enhance/esrgan.py:apply_rrdbnet_staged, exact parity)
+    when the upscale tail's activations would not fit HBM. Threshold: the
+    tail holds several [T, 4H', 4W', nf] buffers; beyond ~2^21 trunk
+    pixels per chunk (e.g. 4 x 720p) the monolithic graph measured 32.7
+    GB at 1080p x4 (benchmarks/esrgan_split.py)."""
+    t, h, w = x.shape[0], x.shape[1], x.shape[2]
+    unshuffle = 4 // cfg.esrgan_scale  # trunk resolution divisor
+    th, tw = h // unshuffle, w // unshuffle
+    if t * th * tw <= 1 << 21:
+        return esrgan.apply({"params": params}, x)
+    from .esrgan import apply_rrdbnet_staged
+
+    def tile_len(size):
+        # largest divisor <= ~512 that leaves room for the halo
+        for cand in range(min(512, size // 2), 31, -1):
+            if size % cand == 0 and cand + 4 <= size:
+                return cand
+        return size
+    return apply_rrdbnet_staged(esrgan, params, x,
+                                tail_tile_hw=(tile_len(th), tile_len(tw)))
+
+
 def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
                     in_hw: tuple[int, int]):
     """Build the jitted chunk function: [T, H, W, 3] u8 -> [T', H', W', 3] u8."""
@@ -74,7 +98,7 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
                 x_in = resize_area(x, (dh, dw))
             else:
                 x_in = x
-            up = esrgan.apply({"params": ep_c}, x_in)
+            up = _apply_esrgan(cfg, esrgan, ep_c, x_in)
             up = jnp.clip(up, 0.0, 1.0)
             if cfg.keep_original_size:
                 up = resize_area(up, (h, w))
