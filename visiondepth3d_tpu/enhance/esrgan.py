@@ -29,12 +29,14 @@ class Conv3x3(nn.Module):
     """3x3 SAME conv with optionally fused activation; drop-in for
     nn.Conv(features, (3,3), padding=((1,1),(1,1))) — identical param tree.
 
-    On TPU, stride-1 3x3 convs at RRDBNet's 32-64 channels run at ~12% of
-    the bf16 MXU peak under XLA's lowering; the Pallas kernel
-    (ops/pallas_conv.py) measures 1.4x faster at the 1080p production
-    shape (benchmarks/RESULTS.md), so it is the default there. The XLA
-    path is kept for CPU, interpret-mode tests, and heights its row
-    blocking cannot divide.
+    On TPU, stride-1 3x3 convs at RRDBNet's 32-64 channels run far below
+    the bf16 MXU peak under XLA's lowering at video-frame shapes: the
+    Pallas kernel (ops/pallas_conv.py) measures 1.4x faster at
+    [2,1080,1920,64] (4.63 vs 6.48 ms/frame). XLA WINS at batched
+    medium-spatial shapes ([32,296,296,*] and below — see
+    benchmarks/RESULTS.md), so the Pallas path is gated to the wide-row
+    regime where it was measured ahead; XLA otherwise (and always on
+    CPU / interpret-mode tests).
     """
 
     features: int
@@ -52,7 +54,7 @@ class Conv3x3(nn.Module):
 
         use_pallas = (
             jax.default_backend() == "tpu"
-            and x.shape[2] >= 256
+            and x.shape[2] >= 768
             and pick_conv_block_rows(x.shape[1], x.shape[2], c,
                                      self.features) >= 4
         )
