@@ -275,22 +275,53 @@ def stereo_frame_step(
         jnp.asarray(0.0, depth_n.dtype),
     )
     t, focal = trk.focal_tracker_update(t, candidate_focal, motion)
+    graded = False
     if p.dof_strength > 0.0:
         # depth is resized to the warped-frame size for DOF (render_3d.py:1347)
-        left = dof.apply_dof(
-            left, depth_w, focal, p.dof_strength, p.dof_focus_width, p.dof_levels
+        import jax as _jax
+
+        from ..ops import pallas_dof as _pdof
+        from ..ops.pallas_dof import dof_grade_pallas, dof_reach
+
+        # Fused kernel measured a WASH at 4K (14.96 vs 14.76 ms/frame
+        # full stereo stage): the XLA LOD stack is HBM-bound at ~3.2 ms
+        # but the kernel pays the same in VPU tap work. Off by default;
+        # see benchmarks/RESULTS.md.
+        use_fused = (
+            _pdof.USE_FUSED_DOF
+            and _jax.default_backend() == "tpu"
+            and not p.parity_quantize  # parity mode keeps op-by-op order
+            and dof_reach(p.dof_strength, p.dof_levels) <= 8
+            and left.shape[0] % 8 == 0
         )
-        right = dof.apply_dof(
-            right, depth_w, focal, p.dof_strength, p.dof_focus_width, p.dof_levels
-        )
+        if use_fused:
+            # one VMEM pass for DOF + grade, both eyes (XLA runs the LOD
+            # blur stack HBM-bound: 3.2 ms/frame at 4K, stereo4k_split.py)
+            left, right = dof_grade_pallas(
+                left, right, depth_w, focal, p.dof_strength,
+                p.dof_focus_width, p.dof_levels,
+                saturation=p.color_saturation, contrast=p.color_contrast,
+                brightness=p.color_brightness,
+            )
+            graded = True
+        else:
+            left = dof.apply_dof(
+                left, depth_w, focal, p.dof_strength, p.dof_focus_width,
+                p.dof_levels
+            )
+            right = dof.apply_dof(
+                right, depth_w, focal, p.dof_strength, p.dof_focus_width,
+                p.dof_levels
+            )
 
     # 5) color grade (render_3d.py:1362-1386)
-    left = grade.apply_color_grade(
-        left, p.color_saturation, p.color_contrast, p.color_brightness
-    )
-    right = grade.apply_color_grade(
-        right, p.color_saturation, p.color_contrast, p.color_brightness
-    )
+    if not graded:
+        left = grade.apply_color_grade(
+            left, p.color_saturation, p.color_contrast, p.color_brightness
+        )
+        right = grade.apply_color_grade(
+            right, p.color_saturation, p.color_contrast, p.color_brightness
+        )
     left = _maybe_quantize(left, p)
     right = _maybe_quantize(right, p)
 
