@@ -165,3 +165,31 @@ def test_live_tracking_mid_video_bar_change(tmp_path):
     # and before the change, the full frame is real depth (not fill bands)
     head = frames[5]
     assert not np.all(head[:det[0]] == 128)
+
+
+def test_scenes_split_exports_clips(tmp_path):
+    """vd3d scenes --split: one clip per detected scene, frames preserved
+    (reference FrameTools scene split, VisionDepth3D.py:1187-1247)."""
+    import numpy as np
+
+    from visiondepth3d_tpu.cli.main import main as cli_main
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+
+    src = tmp_path / "cuts.y4m"
+    h, w = 64, 96
+    with Y4MWriter(str(src), w, h, 24.0) as wr:
+        for i in range(30):
+            f = np.zeros((h, w, 3), np.uint8)
+            f[...] = (200, 30, 30) if i < 20 else (40, 40, 220)
+            wr.write(f)
+    out = tmp_path / "scenes"
+    rc = cli_main(["scenes", "--input", str(src), "--split",
+                   "--output", str(out)])
+    assert rc == 0
+    clips = sorted(out.glob("*.y4m"))
+    assert len(clips) >= 2
+    total = 0
+    for p in clips:
+        with Y4MReader(str(p)) as rd:
+            total += sum(1 for _ in rd)
+    assert total == 30

@@ -198,7 +198,12 @@ def cmd_audio(args) -> int:
 
 
 def cmd_scenes(args) -> int:
-    from ..io.video import open_video
+    """Scene detection; with --split, export one clip per scene (the
+    reference's FrameTools scene split, VisionDepth3D.py:1187-1247 —
+    PySceneDetect ContentDetector -> per-scene x264 export)."""
+    import os
+
+    from ..io.video import open_video, open_writer
     from ..utils import detect_scenes, scenes_to_spans
 
     with open_video(args.input) as rd:
@@ -207,6 +212,33 @@ def cmd_scenes(args) -> int:
     print(f"{len(cuts)} scenes")
     for i, c in enumerate(cuts):
         print(f"scene {i}: frame {c} ({c / fps:.2f}s)")
+    if not args.split:
+        return 0
+
+    out_dir = args.output or os.path.splitext(args.input)[0] + "_scenes"
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.input))[0]
+    starts = cuts if (cuts and cuts[0] == 0) else [0] + cuts
+    _ = scenes_to_spans  # spans derive from starts + EOF below
+    n = 0
+    with open_video(args.input) as rd:
+        wr, idx = None, 0
+        while True:
+            frame = rd.read()
+            if frame is None:
+                break
+            if n < len(starts) and idx == starts[n]:
+                if wr is not None:
+                    wr.close()
+                path = os.path.join(out_dir, f"{base}-Scene-{n + 1:03d}.y4m")
+                wr = open_writer(path, rd.width, rd.height, fps,
+                                 getattr(args, "codec", "libx264"))
+                n += 1
+            wr.write(frame)
+            idx += 1
+        if wr is not None:
+            wr.close()
+    print(f"wrote {n} scene clips -> {out_dir}")
     return 0
 
 
@@ -441,6 +473,9 @@ def main(argv=None) -> int:
     sc = sub.add_parser("scenes", help="content-based scene detection")
     sc.add_argument("--input", required=True)
     sc.add_argument("--threshold", type=float, default=27.0)
+    sc.add_argument("--split", action="store_true",
+                    help="export one clip per scene")
+    sc.add_argument("--output", default=None, help="scene-clip directory")
 
     pv = sub.add_parser("preview", help="single-frame diagnostic render")
     pv.add_argument("--input", required=True)
