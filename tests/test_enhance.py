@@ -244,18 +244,29 @@ def test_apply_esrgan_staged_threshold():
     x = jnp.asarray(rng.random((1, 40, 64, 3)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     whole = model.apply({"params": params}, x)
-    # force the staged branch by monkeypatching the threshold comparison:
-    # a 40x64 frame is below 2^21 px, so call the tiler directly through
-    # _apply_esrgan on a threshold-exceeding fake by shrinking the limit
-    import visiondepth3d_tpu.enhance.pipeline as pl_mod
-
-    src = pl_mod._apply_esrgan.__doc__  # keep coverage honest
-    assert src is not None
-    from visiondepth3d_tpu.enhance.esrgan import apply_rrdbnet_staged
-
-    staged = apply_rrdbnet_staged(model, params, x, tail_tile_hw=(20, 32))
-    np.testing.assert_allclose(np.asarray(staged), np.asarray(whole),
-                               atol=2e-6)
-    # and the dispatcher itself returns the monolithic result below it
+    # below the threshold: the dispatcher returns the monolithic result
     out = _apply_esrgan(cfg, model, params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(whole), atol=0)
+    # shrink the threshold so the DISPATCHER takes the staged branch
+    import visiondepth3d_tpu.enhance.pipeline as pl_mod
+
+    orig = pl_mod._STAGE_THRESHOLD_PX
+    try:
+        pl_mod._STAGE_THRESHOLD_PX = 1
+        staged = _apply_esrgan(cfg, model, params, x)
+    finally:
+        pl_mod._STAGE_THRESHOLD_PX = orig
+    np.testing.assert_allclose(np.asarray(staged), np.asarray(whole),
+                               atol=2e-6)
+    # prime-ish dims have no usable tile divisor -> monolithic fallback,
+    # not an assert crash
+    x2 = jnp.asarray(np.random.default_rng(4).random((1, 37, 41, 3)),
+                     jnp.float32)
+    whole2 = model.apply({"params": params}, x2)
+    try:
+        pl_mod._STAGE_THRESHOLD_PX = 1
+        # 37/41 are prime: no usable tile divisor -> monolithic fallback
+        out2 = _apply_esrgan(cfg, model, params, x2)
+    finally:
+        pl_mod._STAGE_THRESHOLD_PX = orig
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(whole2), atol=0)

@@ -204,7 +204,7 @@ def cmd_scenes(args) -> int:
     import os
 
     from ..io.video import open_video, open_writer
-    from ..utils import detect_scenes, scenes_to_spans
+    from ..utils import detect_scenes
 
     with open_video(args.input) as rd:
         fps = rd.fps
@@ -218,8 +218,7 @@ def cmd_scenes(args) -> int:
     out_dir = args.output or os.path.splitext(args.input)[0] + "_scenes"
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.input))[0]
-    starts = cuts if (cuts and cuts[0] == 0) else [0] + cuts
-    _ = scenes_to_spans  # spans derive from starts + EOF below
+    starts = cuts or [0]  # detect_scenes always leads with frame 0
     n = 0
     with open_video(args.input) as rd:
         wr, idx = None, 0
@@ -231,8 +230,7 @@ def cmd_scenes(args) -> int:
                 if wr is not None:
                     wr.close()
                 path = os.path.join(out_dir, f"{base}-Scene-{n + 1:03d}.y4m")
-                wr = open_writer(path, rd.width, rd.height, fps,
-                                 getattr(args, "codec", "libx264"))
+                wr = open_writer(path, rd.width, rd.height, fps)
                 n += 1
             wr.write(frame)
             idx += 1

@@ -56,7 +56,8 @@ class Conv3x3(nn.Module):
             jax.default_backend() == "tpu"
             and x.shape[2] >= 768
             and pick_conv_block_rows(x.shape[1], x.shape[2], c,
-                                     self.features) >= 4
+                                     self.features,
+                                     jnp.dtype(x.dtype).itemsize) >= 4
         )
         if use_pallas:
             from ..ops.pallas_conv import conv3x3_pallas

@@ -47,28 +47,36 @@ class EnhanceConfig:
     dtype: str = "float32"
 
 
+# Above this many trunk pixels per chunk the monolithic x4 tail exceeds
+# HBM (32.7 GB measured at 1080p x4, benchmarks/esrgan_split.py).
+_STAGE_THRESHOLD_PX = 1 << 21
+
+
+def _tile_len(size: int) -> int | None:
+    """A divisor of ``size`` usable as a staged-tail tile edge (leaves
+    room for the 2-px halo), preferring ~480; None when size has no
+    usable divisor (prime-ish dims — staged tiling needs even cover)."""
+    cands = [d for d in range(16, size // 2 + 1)
+             if size % d == 0 and d + 4 <= size]
+    if not cands:
+        return None
+    return min(cands, key=lambda d: abs(d - 480))
+
+
 def _apply_esrgan(cfg: EnhanceConfig, esrgan, params, x):
     """Monolithic apply for small frames; staged (trunk whole-frame, x4
     tail tiled — enhance/esrgan.py:apply_rrdbnet_staged, exact parity)
-    when the upscale tail's activations would not fit HBM. Threshold: the
-    tail holds several [T, 4H', 4W', nf] buffers; beyond ~2^21 trunk
-    pixels per chunk (e.g. 4 x 720p) the monolithic graph measured 32.7
-    GB at 1080p x4 (benchmarks/esrgan_split.py)."""
+    when the upscale tail's activations would not fit HBM."""
     t, h, w = x.shape[0], x.shape[1], x.shape[2]
     unshuffle = 4 // cfg.esrgan_scale  # trunk resolution divisor
     th, tw = h // unshuffle, w // unshuffle
-    if t * th * tw <= 1 << 21:
+    tile_h, tile_w = _tile_len(th), _tile_len(tw)
+    if t * th * tw <= _STAGE_THRESHOLD_PX or tile_h is None or tile_w is None:
         return esrgan.apply({"params": params}, x)
     from .esrgan import apply_rrdbnet_staged
 
-    def tile_len(size):
-        # largest divisor <= ~512 that leaves room for the halo
-        for cand in range(min(512, size // 2), 31, -1):
-            if size % cand == 0 and cand + 4 <= size:
-                return cand
-        return size
     return apply_rrdbnet_staged(esrgan, params, x,
-                                tail_tile_hw=(tile_len(th), tile_len(tw)))
+                                tail_tile_hw=(tile_h, tile_w))
 
 
 def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
