@@ -276,3 +276,48 @@ def test_full_product_chain(tmp_path):
         doubled = list(rd)
     # 2t-1: one in-between per consecutive pair, none after the last frame
     assert len(doubled) == 2 * t - 1 and abs(rd.fps - 48.0) < 1e-3
+
+
+def test_fused_single_pass_render(tmp_path):
+    """depth_path=None + predictor: the fused 2D->3D route renders in one
+    device graph per chunk (make_chunk_fn predictor branch)."""
+    import numpy as np
+
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+    from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+        RenderConfig,
+        render_stereo_video,
+    )
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    h, w, t = 48, 64, 6
+    src = tmp_path / "one.y4m"
+    with Y4MWriter(str(src), w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f = np.zeros((h, w, 3), np.uint8)
+            f[..., 0] = (xx * 3 + i * 5) % 256
+            f[..., 1] = yy * 4 % 256
+            f[..., 2] = 120
+            wr.write(f)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                          inference_size=28)
+    out = tmp_path / "one_3d.y4m"
+    cfg = RenderConfig(output_format="Full-SBS",
+                       preserve_original_aspect=True, chunk_size=4)
+    prog = render_stereo_video(str(src), None, str(out), StereoParams(),
+                               cfg, predictor=pred)
+    assert prog.frames_done == t
+    with Y4MReader(str(out)) as rd:
+        frames = [f for f in rd]
+        assert rd.width == 2 * w and rd.height == h
+    assert len(frames) == t
+    f = frames[3].astype(int)
+    assert np.abs(f[:, :w] - f[:, w:]).mean() > 0.1  # real displacement
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_stereo_video(str(src), None, str(out))

@@ -43,7 +43,17 @@ def _add_param_flags(p: argparse.ArgumentParser):
 def _build_render_parser(sub):
     p = sub.add_parser("render", help="render a 3D video from video + depth")
     p.add_argument("--input", required=True)
-    p.add_argument("--depth", required=True)
+    p.add_argument("--depth", default=None,
+                   help="precomputed depth video; omit to run the fused "
+                        "single-pass 2D->3D route with --model")
+    p.add_argument("--model", default="depth-anything-v2-small",
+                   help="depth model for the fused route (no --depth)")
+    p.add_argument("--checkpoint", default=None,
+                   help="converted weights for --model (fused route)")
+    p.add_argument("--inference-size", type=int, default=None)
+    p.add_argument("--allow-random", action="store_true",
+                   help="fused route without --checkpoint (garbage depth; "
+                        "shape/compile testing only)")
     p.add_argument("--output", default=None)
     p.add_argument("--format", default="Full-SBS",
                    choices=["Half-SBS", "Full-SBS", "VR", "Red-Cyan Anaglyph",
@@ -116,8 +126,22 @@ def cmd_render(args) -> int:
         print(f"\r{p.frames_done} frames | {p.fps:.2f} fps{eta_s}",
               end="", flush=True)
 
+    predictor = None
+    if args.depth is None:
+        # fused single-pass 2D->3D (make_chunk_fn predictor route)
+        from ..depth.registry import load_predictor
+
+        if args.checkpoint is None and not args.allow_random:
+            print("no --depth and no --checkpoint: pass --allow-random to "
+                  "render with RANDOM depth weights (testing only)")
+            return 2
+        kw = {}
+        if args.inference_size:
+            kw["inference_size"] = args.inference_size
+        predictor = load_predictor(args.model, args.checkpoint, **kw)
+
     prog = render_stereo_video(args.input, args.depth, output, params, cfg,
-                               progress_cb=progress)
+                               progress_cb=progress, predictor=predictor)
     print("\n" + t("render.done", frames=prog.frames_done, fps=prog.fps,
                    output=output))
     return 0

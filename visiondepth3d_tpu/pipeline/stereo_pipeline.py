@@ -82,37 +82,32 @@ def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
 
 
 def make_chunk_fn(
-    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig
+    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
+    predictor=None,
 ) -> Callable:
-    """Build the jitted chunk function: u8 in -> packed u8 out."""
+    """Build the jitted chunk function: u8 in -> packed u8 out.
+
+    With ``predictor`` (a DepthPredictor), depth is inferred INSIDE the
+    same graph — the fused single-pass 2D->3D route (what bench.py and
+    __graft_entry__.entry measure). The reference has no analog: it
+    always round-trips a quantized depth video between its two tabs;
+    here the depth map flows to the warp at full float precision without
+    ever touching the host. Without ``predictor``, depth arrives as the
+    u16-quantized stream of a previous `vd3d depth` pass."""
     params = params.replace(warp_hw=(geom.warp_h, geom.warp_w))
     try:
         params = params.with_shift_bound(geom.warp_w)
     except TypeError:
         pass  # traced percent (unusual): fall back to the gather warp
 
-    def chunk_fn(trackers, frames_u8, depths_u16, blanks):
-        frames = u8_to_float(frames_u8)  # [T, H, W, 3]
-        # depth ships as lossless uint16 (8-bit k/255 == k*257/65535 exactly)
-        depths = depths_u16.astype(jnp.float32) / 65535.0  # [T, Hd, Wd]
-        if depths.shape[1:] != frames.shape[1:3]:
-            depths = resize_bilinear(depths, frames.shape[1:3])
-
-        # static center-crop (+ black-bar crop folded in by geometry)
-        frames = frames[
+    def crop(x):
+        return x[
             :,
             geom.crop_y : geom.crop_y + geom.crop_h,
             geom.crop_x : geom.crop_x + geom.crop_w,
         ]
-        depths = depths[
-            :,
-            geom.crop_y : geom.crop_y + geom.crop_h,
-            geom.crop_x : geom.crop_x + geom.crop_w,
-        ]
-        # per-eye resize (render_3d.py:1262-1263)
-        frames = resize_bilinear(frames, (geom.eye_h, geom.eye_w))
-        depths = resize_bilinear(depths, (geom.eye_h, geom.eye_w))
 
+    def finish(trackers, frames, depths, blanks):
         trackers, outs = render_chunk(params, trackers, frames, depths, blanks)
 
         def pack(eyes):
@@ -131,6 +126,31 @@ def make_chunk_fn(
         packed = jax.vmap(lambda L, R: pack((L, R)))(outs.left, outs.right)
         to_u8 = float_to_u8_trunc if params.parity_quantize else float_to_u8_round
         return trackers, to_u8(packed)
+
+    if predictor is not None:
+
+        def chunk_fused(trackers, frames_u8, blanks):
+            frames = crop(u8_to_float(frames_u8))  # [T, ch, cw, 3]
+            # inline inference on the cropped source; the predictor emits
+            # per-batch-normalized [0,1] depth directly at eye resolution
+            depths = predictor.predict_01(frames,
+                                          out_hw=(geom.eye_h, geom.eye_w))
+            frames = resize_bilinear(frames, (geom.eye_h, geom.eye_w))
+            return finish(trackers, frames, depths, blanks)
+
+        return jax.jit(chunk_fused, donate_argnums=(0,))
+
+    def chunk_fn(trackers, frames_u8, depths_u16, blanks):
+        frames = u8_to_float(frames_u8)  # [T, H, W, 3]
+        # depth ships as lossless uint16 (8-bit k/255 == k*257/65535 exactly)
+        depths = depths_u16.astype(jnp.float32) / 65535.0  # [T, Hd, Wd]
+        if depths.shape[1:] != frames.shape[1:3]:
+            depths = resize_bilinear(depths, frames.shape[1:3])
+        frames, depths = crop(frames), crop(depths)
+        # per-eye resize (render_3d.py:1262-1263)
+        frames = resize_bilinear(frames, (geom.eye_h, geom.eye_w))
+        depths = resize_bilinear(depths, (geom.eye_h, geom.eye_w))
+        return finish(trackers, frames, depths, blanks)
 
     return jax.jit(chunk_fn, donate_argnums=(0,))
 
@@ -156,12 +176,18 @@ def render_stereo_video(
     cfg: RenderConfig | None = None,
     progress_cb: Callable[[RenderProgress], None] | None = None,
     cancel_check: Callable[[], bool] | None = None,
+    predictor=None,
 ) -> RenderProgress:
     """Render a full video. Returns final progress stats.
 
-    ``cancel_check`` is polled between chunks (cooperative cancel, the
-    render_3d.py:1195-1220 suspend/cancel analog — suspension is just the
-    caller not returning from the callback)."""
+    ``depth_path=None`` + ``predictor`` = the fused single-pass 2D->3D
+    route: depth inference and the stereo step run in one device graph
+    per chunk (see make_chunk_fn). ``cancel_check`` is polled between
+    chunks (cooperative cancel, the render_3d.py:1195-1220
+    suspend/cancel analog — suspension is just the caller not returning
+    from the callback)."""
+    if depth_path is None and predictor is None:
+        raise ValueError("need a depth video or a depth predictor")
     params = params or StereoParams()
     # fail on malformed params BEFORE the output file is opened — otherwise
     # a typo'd --image_dtype leaves a partial .y4m behind
@@ -171,7 +197,7 @@ def render_stereo_video(
     cfg = cfg or RenderConfig()
 
     rd = open_video(input_path, cfg.start_s, cfg.end_s)
-    dd = open_depth_reader(depth_path)
+    dd = open_depth_reader(depth_path) if depth_path is not None else None
     fps = cfg.fps or rd.fps or 30.0
 
     first = rd.read()
@@ -198,7 +224,7 @@ def render_stereo_video(
         except Exception:
             blank_set = set()
 
-    chunk_fn = make_chunk_fn(params, geom, cfg)
+    chunk_fn = make_chunk_fn(params, geom, cfg, predictor=predictor)
     trackers = init_trackers(geom.eye_h, geom.eye_w)
 
     # resume: restore trackers + skip already-rendered frames (y4m output
@@ -257,7 +283,7 @@ def render_stereo_video(
         while frame_idx < skip_n:
             if frame is None:
                 frame = rd.read()
-            d = dd.read()
+            d = dd.read() if dd is not None else frame
             if frame is None or d is None:
                 eof = True
                 break
@@ -274,12 +300,13 @@ def render_stereo_video(
                 if frame is None:
                     eof = True
                     break
-                d = dd.read()
-                if d is None:
-                    eof = True
-                    break
+                if dd is not None:
+                    d = dd.read()
+                    if d is None:
+                        eof = True
+                        break
+                    depths.append(d)
                 frames.append(frame)
-                depths.append(d)
                 blanks.append(frame_idx in blank_set)
                 frame_idx += 1
                 frame = None
@@ -288,15 +315,19 @@ def render_stereo_video(
             n = len(frames)
             while len(frames) < t_chunk:  # pad tail chunk to static shape
                 frames.append(frames[-1])
-                depths.append(depths[-1])
+                if dd is not None:
+                    depths.append(depths[-1])
                 blanks.append(False)
             fb = np.stack(frames)
-            db = np.stack(depths)
-            # depth ships as lossless uint16 (8-bit k/255 == k*257/65535)
-            db_u16 = np.clip(db * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
             bb = np.asarray(blanks)
 
-            trackers, out_u8 = chunk_fn(trackers, fb, db_u16, bb)
+            if dd is None:
+                trackers, out_u8 = chunk_fn(trackers, fb, bb)
+            else:
+                db = np.stack(depths)
+                # depth ships as lossless uint16 (8-bit k/255 == k*257/65535)
+                db_u16 = np.clip(db * 65535.0 + 0.5, 0, 65535).astype(np.uint16)
+                trackers, out_u8 = chunk_fn(trackers, fb, db_u16, bb)
             if yuv_fn is not None:
                 out_u8 = yuv_fn(out_u8)
             flush(pending)
@@ -326,6 +357,7 @@ def render_stereo_video(
             clear_checkpoint(output_path)
     finally:
         rd.close()
-        dd.close()
+        if dd is not None:
+            dd.close()
         wr.close()
     return prog
