@@ -406,3 +406,28 @@ def test_pallas_postfx_block_and_ksize_sweep(rng):
             )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-6, err_msg=f"h={h} bh={bh} k={k}")
+
+
+def test_pallas_warp_lane_padded_width(rgb_frame, depth_ramp):
+    """Non-128-multiple widths lane-pad inside the kernel wrapper; the
+    real-width clamp keeps border semantics identical to the XLA warp."""
+    import jax
+
+    from visiondepth3d_tpu.ops import pallas_warp as pw
+
+    w = 60  # pads to 128 lanes
+    frame = rgb_frame[:32, :w]
+    depth = depth_ramp[:32, :w]
+    shift = (0.08 * (depth - 0.5)).astype(np.float32)
+    ref = stereo_warp(_j(frame), _j(depth), _j(shift))
+    with jax.disable_jit(False):
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = pw.stereo_warp_pallas(
+                _j(frame), _j(depth), _j(shift), max_shift_px=6,
+                block_rows=16,
+            )
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

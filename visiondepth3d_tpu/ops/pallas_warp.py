@@ -25,21 +25,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _warp_kernel(k0: int, frame_ref, depth_ref, shift_ref,
+def _warp_kernel(k0: int, w_real: int, frame_ref, depth_ref, shift_ref,
                  left_ref, right_ref, dleft_ref, dright_ref):
-    w = frame_ref.shape[-1]
+    w = frame_ref.shape[-1]  # may be lane-padded; w_real <= w
     shift = shift_ref[:]  # [BH, W]
     # Mosaic's iota is integer-only; cast after
     x_idx = jax.lax.broadcasted_iota(jnp.int32, shift.shape, 1).astype(jnp.float32)
-    delta = shift * ((w - 1) / 2.0)
+    # disparity scale and the border clamp use the REAL width: pad columns
+    # (zero shift) then resolve to src == x with weight-1 center taps on
+    # zero-pad data, and their garbage output is cropped by the wrapper
+    delta = shift * ((w_real - 1) / 2.0)
     # NOTE: jnp.clip creates closed_call sub-jaxprs that trip the Pallas
     # MLIR lowering cache; spell out max/min instead
-    src_l = jnp.minimum(jnp.maximum(x_idx + delta, 0.0), w - 1.0)
-    src_r = jnp.minimum(jnp.maximum(x_idx - delta, 0.0), w - 1.0)
+    src_l = jnp.minimum(jnp.maximum(x_idx + delta, 0.0), w_real - 1.0)
+    src_r = jnp.minimum(jnp.maximum(x_idx - delta, 0.0), w_real - 1.0)
     # per-tap weight is hat(|src - (x+k)|) = hat(|d - k|) with d hoisted out
     # of the tap loop (saves one subtract per tap per eye)
     d_l = src_l - x_idx
     d_r = src_r - x_idx
+    if w_real != w:
+        # pad columns' x_idx > w_real-1 makes their clamped d large
+        # negative; zero them so they don't widen the tap-culling range
+        cols = jax.lax.broadcasted_iota(jnp.int32, shift.shape, 1)
+        in_img = cols < w_real
+        d_l = jnp.where(in_img, d_l, 0.0)
+        d_r = jnp.where(in_img, d_r, 0.0)
 
     frame = frame_ref[:]  # [C, BH, W]
     depth = depth_ref[:]  # [BH, W]
@@ -125,29 +135,44 @@ def stereo_warp_pallas(
 
     Plain function (not jitted here): nesting an inner jit around a
     pallas_call inside outer control flow trips a jax-0.9 lowering-cache
-    bug; callers are jitted anyway."""
+    bug; callers are jitted anyway.
+
+    Widths that are not a whole number of 128-lane tiles are zero-padded
+    up (Mosaic's lane rotate cannot legalize on lane-padded vectors —
+    observed 'failed to legalize tpu.dynamic_rotate' at W=64); the
+    kernel clamps source positions to the REAL width so border-pad
+    semantics are unchanged, and the pad columns are cropped off."""
     h, w = frame.shape[0], frame.shape[1]
+    w_pad = -(-w // 128) * 128
     fr = jnp.moveaxis(frame, -1, 0)  # [3, H, W]
+    if w_pad != w:
+        cpad = [(0, 0), (0, w_pad - w)]
+        fr = jnp.pad(fr, [(0, 0)] + cpad)
+        shaped_depth = jnp.pad(shaped_depth, cpad)
+        shift_norm = jnp.pad(shift_norm, cpad)
     bh = min(block_rows, h)
     if frame.dtype == jnp.bfloat16:
         bh = max(2, bh - (bh % 2))  # row-pair bitcast needs even blocks
     grid = (pl.cdiv(h, bh),)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((3, h, w), frame.dtype),
-        jax.ShapeDtypeStruct((3, h, w), frame.dtype),
-        jax.ShapeDtypeStruct((h, w), frame.dtype),
-        jax.ShapeDtypeStruct((h, w), frame.dtype),
+        jax.ShapeDtypeStruct((3, h, w_pad), frame.dtype),
+        jax.ShapeDtypeStruct((3, h, w_pad), frame.dtype),
+        jax.ShapeDtypeStruct((h, w_pad), frame.dtype),
+        jax.ShapeDtypeStruct((h, w_pad), frame.dtype),
     )
-    plane_spec = pl.BlockSpec((3, bh, w), lambda i: (0, i, 0),
+    plane_spec = pl.BlockSpec((3, bh, w_pad), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
-    flat_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
+    flat_spec = pl.BlockSpec((bh, w_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     left, right, dl, dr = pl.pallas_call(
-        functools.partial(_warp_kernel, max_shift_px),
+        functools.partial(_warp_kernel, max_shift_px, w),
         grid=grid,
         in_specs=[plane_spec, flat_spec, flat_spec],
         out_specs=(plane_spec, plane_spec, flat_spec, flat_spec),
         out_shape=out_shapes,
     )(fr, shaped_depth, shift_norm)
+    if w_pad != w:
+        left, right = left[..., :w], right[..., :w]
+        dl, dr = dl[..., :w], dr[..., :w]
     return jnp.moveaxis(left, 0, -1), jnp.moveaxis(right, 0, -1), dl, dr

@@ -118,15 +118,10 @@ def _dispatch_warp(p: StereoParams, frame, shaped, final_shift):
 
     backend = p.warp_backend
     if backend == "auto":
-        # Mosaic's lane rotate (pltpu.roll) only legalizes when the lane
-        # axis is a whole number of 128-lane tiles: a 64- or 960-wide
-        # frame reaches hardware as a lane-PADDED vector and
-        # tpu.dynamic_rotate on it fails AOT ("failed to legalize").
-        # 128-multiple widths cover every production geometry (640/1920/
-        # 3840 and the Full-SBS eye sizes); others take the XLA warp.
-        lanes_ok = frame.shape[1] % 128 == 0
-        if (p.max_shift_px_bound is not None and lanes_ok
-                and jax.default_backend() == "tpu"):
+        # non-128-multiple widths (Half-SBS eyes at 960, tiny tests) are
+        # lane-padded inside stereo_warp_pallas — Mosaic's rotate cannot
+        # legalize on padded vectors, so the kernel pads explicitly
+        if p.max_shift_px_bound is not None and jax.default_backend() == "tpu":
             backend = "pallas"
         elif p.max_shift_px_bound is not None:
             backend = "xla"
