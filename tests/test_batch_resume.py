@@ -100,3 +100,16 @@ def test_batch_continue_on_error(tmp_path):
     cfg = RenderConfig(preserve_original_aspect=True, chunk_size=2)
     done = run_batch(items, StereoParams(), cfg)
     assert done[0].status == "error" and done[1].status == "done"
+
+
+def test_pair_skips_depth_sidecars_in_video_dir(tmp_path):
+    """When videos and depths share a directory, *_depth files must not be
+    enqueued as inputs themselves."""
+    from pathlib import Path
+
+    for name in ("a.y4m", "a_depth.y4m"):
+        with Y4MWriter(str(tmp_path / name), 32, 16, 24.0) as wr:
+            wr.write(np.zeros((16, 32, 3), np.uint8))
+    items = pair_videos_with_depth(tmp_path, tmp_path, tmp_path)
+    assert [Path(i.input_path).name for i in items] == ["a.y4m"]
+    assert Path(items[0].depth_path).name == "a_depth.y4m"

@@ -42,7 +42,13 @@ def _add_param_flags(p: argparse.ArgumentParser):
 
 def _build_render_parser(sub):
     p = sub.add_parser("render", help="render a 3D video from video + depth")
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", default=None)
+    p.add_argument("--batch-videos", default=None,
+                   help="directory of videos: batch mode (reference 3D-tab "
+                        "paired queue); pairs <name> with <name>_depth in "
+                        "--batch-depths")
+    p.add_argument("--batch-depths", default=None)
+    p.add_argument("--batch-out", default=None)
     p.add_argument("--depth", default=None,
                    help="precomputed depth video; omit to run the fused "
                         "single-pass 2D->3D route with --model")
@@ -77,6 +83,9 @@ def _build_render_parser(sub):
 
 
 def cmd_render(args) -> int:
+    if args.input is None and args.batch_videos is None:
+        print("render needs --input or --batch-videos")
+        return 2
     if args.preset:
         try:
             params, cfg = load_builtin(args.preset)
@@ -108,6 +117,27 @@ def cmd_render(args) -> int:
         skip_blank_frames=args.skip_blank_frames,
         auto_crop_black_bars=args.auto_crop_black_bars,
     )
+
+    if args.batch_videos:
+        # sequential paired-queue batch (VisionDepth3D.py:2439-2470)
+        from ..pipeline.batch import pair_videos_with_depth, run_batch
+
+        items = pair_videos_with_depth(
+            args.batch_videos, args.batch_depths or args.batch_videos,
+            args.batch_out or args.batch_videos)
+        if not items:
+            print("no video/depth pairs found")
+            return 2
+
+        def batch_progress(item):
+            print(f"{item.status:9s} {item.input_path}", flush=True)
+
+        done = run_batch(items, params, cfg, progress_cb=batch_progress)
+        for it in done:
+            print(f"{it.status:9s} {it.input_path} "
+                  f"({it.frames} frames, {it.seconds:.1f}s)"
+                  + (f" — {it.error}" if it.error else ""))
+        return 0 if all(i.status == "done" for i in done) else 1
 
     output = args.output
     if output is None:

@@ -41,8 +41,10 @@ def pair_videos_with_depth(video_dir, depth_dir, out_dir,
             ".y4m", ".mp4", ".mkv", ".avi", ".mov", ".webm"
         ):
             continue
+        if v.stem.endswith(depth_suffix):
+            continue  # a depth sidecar living in the video dir, not a video
         d = depth_by_stem.get(v.stem + depth_suffix) or depth_by_stem.get(v.stem)
-        if d is None:
+        if d is None or d.resolve() == v.resolve():
             continue
         items.append(BatchItem(str(v), str(d), str(out_dir / (v.stem + "_3D.y4m"))))
     return items
