@@ -166,6 +166,9 @@ if __name__ == "__main__":
     # f32 results (2026-08-17): cur_bh16 1.841, cur_bh32 1.955,
     # inc_bh16 1.736, inc_bh32 1.866 ms/frame; inc_bh64 VMEM-OOMs (the
     # loop-carried rolled planes double the working set).
+    # block-rows sweep (2026-08-18, bf16): bh16 1.269 / bh8 1.423 —
+    # tighter per-block tap culling does NOT pay for the extra grid
+    # steps; bh16 stays the default (f32 sweep above agreed: bh32 worse).
     for dt in (jnp.bfloat16,):
         bench("cur_bh16", stereo_warp_pallas, dt)
         bench("inc_bh16", warp_inc, dt)
