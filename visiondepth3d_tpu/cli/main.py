@@ -128,6 +128,11 @@ def cmd_render(args) -> int:
         if not items:
             print("no video/depth pairs found")
             return 2
+        if args.dry_run:
+            print(json.dumps({
+                "params": params_to_dict(params, cfg),
+                "items": [dataclasses.asdict(i) for i in items]}, indent=2))
+            return 0
 
         def batch_progress(item):
             print(f"{item.status:9s} {item.input_path}", flush=True)
@@ -169,6 +174,11 @@ def cmd_render(args) -> int:
         if args.inference_size:
             kw["inference_size"] = args.inference_size
         predictor = load_predictor(args.model, args.checkpoint, **kw)
+        if not hasattr(predictor, "predict_01"):
+            print(f"{args.model}: the fused single-pass route needs a "
+                  "feed-forward depth family (predict_01); run diffusion/"
+                  "video models through 'vd3d depth' + --depth instead")
+            return 2
 
     prog = render_stereo_video(args.input, args.depth, output, params, cfg,
                                progress_cb=progress, predictor=predictor)

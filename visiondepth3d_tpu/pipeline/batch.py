@@ -36,13 +36,15 @@ def pair_videos_with_depth(video_dir, depth_dir, out_dir,
     video_dir, depth_dir, out_dir = Path(video_dir), Path(depth_dir), Path(out_dir)
     items = []
     depth_by_stem = {p.stem: p for p in depth_dir.iterdir() if p.is_file()}
+    exts = (".y4m", ".mp4", ".mkv", ".avi", ".mov", ".webm")
+    video_stems = {p.stem for p in video_dir.iterdir()
+                   if p.is_file() and p.suffix.lower() in exts}
     for v in sorted(video_dir.iterdir()):
-        if not v.is_file() or v.suffix.lower() not in (
-            ".y4m", ".mp4", ".mkv", ".avi", ".mov", ".webm"
-        ):
+        if not v.is_file() or v.suffix.lower() not in exts:
             continue
-        if v.stem.endswith(depth_suffix):
-            continue  # a depth sidecar living in the video dir, not a video
+        if (v.stem.endswith(depth_suffix)
+                and v.stem[: -len(depth_suffix)] in video_stems):
+            continue  # another video's depth sidecar sharing the dir
         d = depth_by_stem.get(v.stem + depth_suffix) or depth_by_stem.get(v.stem)
         if d is None or d.resolve() == v.resolve():
             continue

@@ -188,6 +188,8 @@ def render_stereo_video(
     from the callback)."""
     if depth_path is None and predictor is None:
         raise ValueError("need a depth video or a depth predictor")
+    if depth_path is not None and predictor is not None:
+        raise ValueError("pass either depth_path or predictor, not both")
     params = params or StereoParams()
     # fail on malformed params BEFORE the output file is opened — otherwise
     # a typo'd --image_dtype leaves a partial .y4m behind
