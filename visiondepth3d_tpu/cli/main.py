@@ -126,7 +126,7 @@ def cmd_render(args) -> int:
             args.batch_videos, args.batch_depths or args.batch_videos,
             args.batch_out or args.batch_videos)
         if not items:
-            print("no video/depth pairs found")
+            print(t("batch.none"))
             return 2
         if args.dry_run:
             print(json.dumps({
@@ -139,8 +139,8 @@ def cmd_render(args) -> int:
 
         done = run_batch(items, params, cfg, progress_cb=batch_progress)
         for it in done:
-            print(f"{it.status:9s} {it.input_path} "
-                  f"({it.frames} frames, {it.seconds:.1f}s)"
+            print(t("batch.item", status=it.status, input=it.input_path,
+                    frames=it.frames, seconds=it.seconds)
                   + (f" — {it.error}" if it.error else ""))
         return 0 if all(i.status == "done" for i in done) else 1
 
@@ -167,17 +167,14 @@ def cmd_render(args) -> int:
         from ..depth.registry import load_predictor
 
         if args.checkpoint is None and not args.allow_random:
-            print("no --depth and no --checkpoint: pass --allow-random to "
-                  "render with RANDOM depth weights (testing only)")
+            print(t("render.fused_needs_weights"))
             return 2
         kw = {}
         if args.inference_size:
             kw["inference_size"] = args.inference_size
         predictor = load_predictor(args.model, args.checkpoint, **kw)
         if not hasattr(predictor, "predict_01"):
-            print(f"{args.model}: the fused single-pass route needs a "
-                  "feed-forward depth family (predict_01); run diffusion/"
-                  "video models through 'vd3d depth' + --depth instead")
+            print(t("render.fused_family", model=args.model))
             return 2
 
     prog = render_stereo_video(args.input, args.depth, output, params, cfg,
@@ -300,7 +297,7 @@ def cmd_scenes(args) -> int:
             idx += 1
         if wr is not None:
             wr.close()
-    print(f"wrote {n} scene clips -> {out_dir}")
+    print(t("scene.split_done", count=n, output=out_dir))
     return 0
 
 
