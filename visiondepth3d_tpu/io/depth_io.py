@@ -58,6 +58,16 @@ class Depth16Reader:
             return None
         return np.frombuffer(buf, dtype="<u2").reshape(self.height, self.width)
 
+    def seek(self, frame_idx: int) -> bool:
+        self._f.seek(len(_MAGIC) + 12 + frame_idx * self._frame_bytes)
+        return True
+
+    def count(self) -> int:
+        import os
+
+        size = os.fstat(self._f.fileno()).st_size
+        return (size - len(_MAGIC) - 12) // self._frame_bytes
+
     def __iter__(self):
         while True:
             d = self.read()
@@ -92,6 +102,12 @@ class _Scaled16:
         self._rd = rd
         self.width, self.height, self.fps = rd.width, rd.height, rd.fps
 
+    def seek(self, frame_idx: int) -> bool:
+        return self._rd.seek(frame_idx)
+
+    def count(self):
+        return self._rd.count()
+
     def read(self):
         d = self._rd.read()
         return None if d is None else d.astype(np.float32) / 65535.0
@@ -114,6 +130,14 @@ class _ScaledVideo:
     def __init__(self, rd):
         self._rd = rd
         self.width, self.height, self.fps = rd.width, rd.height, rd.fps
+
+    def seek(self, frame_idx: int) -> bool:
+        inner = getattr(self._rd, "seek", None)
+        return bool(inner and inner(frame_idx))
+
+    def count(self):
+        inner = getattr(self._rd, "count", None)
+        return inner() if inner else None
 
     def read(self):
         f = self._rd.read()

@@ -28,6 +28,10 @@ def _load_lib() -> ctypes.CDLL:
     if not _LIB_PATH.exists():
         subprocess.run(["/bin/sh", str(_LIB_DIR / "build.sh")], check=True)
     lib = ctypes.CDLL(str(_LIB_PATH))
+    if not hasattr(lib, "vd3d_y4m_seek"):  # stale build: rebuild once
+        del lib
+        subprocess.run(["/bin/sh", str(_LIB_DIR / "build.sh")], check=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
     lib.vd3d_y4m_open.restype = ctypes.c_void_p
     lib.vd3d_y4m_open.argtypes = [ctypes.c_char_p]
     lib.vd3d_y4m_info.argtypes = [ctypes.c_void_p] + [
@@ -47,6 +51,10 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_char_p
     ] * 3
     lib.vd3d_y4m_writer_close.argtypes = [ctypes.c_void_p]
+    lib.vd3d_y4m_count.restype = ctypes.c_long
+    lib.vd3d_y4m_count.argtypes = [ctypes.c_void_p]
+    lib.vd3d_y4m_seek.restype = ctypes.c_int
+    lib.vd3d_y4m_seek.argtypes = [ctypes.c_void_p, ctypes.c_long]
     _lib = lib
     return lib
 
@@ -83,6 +91,18 @@ class Y4MReader:
             if frame is None:
                 return
             yield frame
+
+    def count(self) -> int | None:
+        """Total frame count, O(1) from the file size (fixed-size FRAME
+        records — what this muxer and ffmpeg emit). None when the stream
+        has per-frame parameters or isn't a regular file."""
+        n = self._lib.vd3d_y4m_count(self._h)
+        return None if n < 0 else int(n)
+
+    def seek(self, frame_idx: int) -> bool:
+        """Reposition to an absolute frame index (segment-parallel reads).
+        Returns False when the stream isn't seekable at fixed records."""
+        return bool(self._lib.vd3d_y4m_seek(self._h, int(frame_idx)))
 
     def close(self):
         if self._h is not None:

@@ -116,6 +116,7 @@ bool parse_y4m_header(FILE* f, Y4MInfo* info) {
 
 struct Reader {
   FILE* f = nullptr;
+  std::string path;
   Y4MInfo info;
   size_t ysz = 0, csz = 0;
   std::vector<uint8_t> ybuf, ubuf, vbuf;
@@ -179,6 +180,7 @@ void* vd3d_y4m_open(const char* path) {
   if (!f) return nullptr;
   auto* r = new Reader();
   r->f = f;
+  r->path = path;
   if (!parse_y4m_header(f, &r->info)) {
     fclose(f);
     delete r;
@@ -222,6 +224,56 @@ void vd3d_y4m_close(void* handle) {
   if (r->worker.joinable()) r->worker.join();
   fclose(r->f);
   delete r;
+}
+
+// Frame count from the file size, assuming fixed-size records (plain
+// "FRAME\n" markers, which is what this muxer and FFmpeg's y4m muxer
+// emit). Returns -1 when the size doesn't divide evenly (per-frame
+// parameters present) or the stream isn't a regular file — callers then
+// fall back to a sequential scan. Thread-safe: touches only immutable
+// header info plus a stat of the path-backed descriptor.
+long vd3d_y4m_count(void* handle) {
+  auto* r = (Reader*)handle;
+  const long rec = 6 + (long)r->ysz + 2 * (long)r->csz;
+  long end;
+  {
+    // use a second descriptor so the prefetch thread's FILE* is untouched
+    FILE* f2 = fopen(r->path.c_str(), "rb");
+    if (!f2) return -1;
+    if (fseek(f2, 0, SEEK_END) != 0) { fclose(f2); return -1; }
+    end = ftell(f2);
+    fclose(f2);
+  }
+  const long payload = end - r->info.header_end;
+  if (payload < 0 || payload % rec != 0) return -1;
+  return payload / rec;
+}
+
+// Seek to an absolute frame index. Stops the prefetch thread, repositions,
+// and restarts it. Returns 1 on success, 0 when the stream is not
+// seekable / records are not fixed-size (the marker is re-verified by the
+// next read, which reports EOF on a mis-seek rather than corrupt frames).
+int vd3d_y4m_seek(void* handle, long frame_idx) {
+  auto* r = (Reader*)handle;
+  if (frame_idx < 0) return 0;
+  r->stop.store(true);
+  r->cv.notify_all();
+  if (r->worker.joinable()) r->worker.join();
+  const long rec = 6 + (long)r->ysz + 2 * (long)r->csz;
+  int ok = fseek(r->f, r->info.header_end + frame_idx * rec, SEEK_SET) == 0;
+  if (ok) {
+    char marker[6] = {0};
+    ok = fread(marker, 1, 6, r->f) == 6 && strncmp(marker, "FRAME", 5) == 0;
+    fseek(r->f, r->info.header_end + frame_idx * rec, SEEK_SET);
+  }
+  {
+    std::lock_guard<std::mutex> lk(r->mu);
+    r->staged_full = false;
+    r->eof = !ok;
+  }
+  r->stop.store(false);
+  if (ok) r->worker = std::thread([r] { r->prefetch_loop(); });
+  return ok;
 }
 
 void* vd3d_y4m_writer_open2(const char* path, int w, int h,
