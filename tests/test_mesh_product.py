@@ -1,0 +1,218 @@
+"""Product-reachable multi-device rendering (VERDICT r2 item 1).
+
+Drives the REAL CLI/pipeline entry (`render_stereo_video` with
+cfg.mesh="dp=4") on the 8-virtual-device CPU mesh and checks the output
+against the documented DP semantics: identical to rendering each segment
+separately with the single-device path (fresh trackers per segment) and
+concatenating the results.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from visiondepth3d_tpu.io import Y4MWriter
+from visiondepth3d_tpu.io.y4m import Y4MReader
+from visiondepth3d_tpu.pipeline.mesh_render import (
+    count_video_frames,
+    parse_mesh_spec,
+)
+from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+    RenderConfig,
+    render_stereo_video,
+)
+from visiondepth3d_tpu.stereo import StereoParams
+
+H, W, T = 48, 64, 20
+
+
+def _write_clip(path, t=T, offset=0):
+    with Y4MWriter(path, W, H, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:H, 0:W]
+            f = np.zeros((H, W, 3), np.uint8)
+            f[..., 0] = (xx * 3 + (i + offset) * 7) % 256
+            f[..., 1] = (yy * 5) % 256
+            f[..., 2] = 90
+            x0 = (2 * (i + offset)) % (W - 10)
+            f[10:30, x0:x0 + 10] = (250, 40, 40)
+            wr.write(f)
+
+
+def _write_depth(path, t=T, offset=0):
+    with Y4MWriter(path, W, H, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:H, 0:W]
+            d = (xx / W * 180 + 30).astype(np.uint8)
+            x0 = (2 * (i + offset)) % (W - 10)
+            d[10:30, x0:x0 + 10] = 40
+            wr.write(np.repeat(d[..., None], 3, -1))
+
+
+def _read_all(path):
+    with Y4MReader(path) as rd:
+        return np.stack(list(iter(rd)))
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec(None) is None
+    assert parse_mesh_spec("off") is None
+    assert parse_mesh_spec("dp=4") == {"dp": 4}
+    assert parse_mesh_spec("dp=2,sp=2") == {"dp": 2, "sp": 2}
+    assert parse_mesh_spec("auto") == {"dp": 8}  # 8 virtual devices
+    with pytest.raises(ValueError):
+        parse_mesh_spec("pp=2")
+
+
+def test_count_video_frames(tmp_path):
+    p = str(tmp_path / "c.y4m")
+    _write_clip(p, t=13)
+    assert count_video_frames(p) == 13
+
+
+@pytest.mark.parametrize("mesh_spec", ["dp=4", "dp=2,sp=2"])
+def test_mesh_render_matches_per_segment_single(tmp_path, mesh_spec):
+    clip = str(tmp_path / "clip.y4m")
+    depth = str(tmp_path / "depth.y4m")
+    _write_clip(clip)
+    _write_depth(depth)
+
+    params = StereoParams(blur_ksize=3)
+    base = RenderConfig(output_format="Half-SBS", output_height=H,
+                        preserve_original_aspect=True, chunk_size=4,
+                        checkpoint_every_chunks=0)
+    axes = parse_mesh_spec(mesh_spec)
+    if axes.get("sp", 1) > 1:
+        # row sharding partitions the stencil ops; the mesh path forces
+        # the XLA warp — mirror that in the reference render
+        params = params.replace(warp_backend="xla")
+
+    out_mesh = str(tmp_path / "mesh.y4m")
+    cfg = dataclasses.replace(base, mesh=mesh_spec)
+    prog = render_stereo_video(clip, depth, out_mesh, params, cfg)
+    assert prog.frames_done == T
+
+    # reference: per-segment single-device renders, concatenated
+    dp = axes["dp"]
+    bounds = [(round(i * T / dp), round((i + 1) * T / dp))
+              for i in range(dp)]
+    ref_frames = []
+    for s, e in bounds:
+        sc = str(tmp_path / f"seg{s}.y4m")
+        sd = str(tmp_path / f"segd{s}.y4m")
+        so = str(tmp_path / f"sego{s}.y4m")
+        _write_clip(sc, t=e - s, offset=s)
+        _write_depth(sd, t=e - s, offset=s)
+        render_stereo_video(sc, sd, so, params,
+                            dataclasses.replace(base, mesh="off"))
+        ref_frames.append(_read_all(so))
+    ref = np.concatenate(ref_frames)
+
+    got = _read_all(out_mesh)
+    assert got.shape == ref.shape == (T, H, W, 3)  # Half-SBS: half-width eyes
+    assert np.array_equal(got, ref), (
+        f"max abs diff {np.abs(got.astype(int) - ref.astype(int)).max()}"
+    )
+
+
+def test_mesh_render_fused_route(tmp_path):
+    """Fused 2D->3D (predictor in-graph) through the mesh path."""
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                          inference_size=28)
+    cfg = RenderConfig(output_format="Half-SBS", output_height=H,
+                       preserve_original_aspect=True, chunk_size=4,
+                       checkpoint_every_chunks=0, mesh="dp=4")
+    out = str(tmp_path / "fused.y4m")
+    prog = render_stereo_video(clip, None, out, StereoParams(blur_ksize=3),
+                               cfg, predictor=pred)
+    assert prog.frames_done == T
+    frames = _read_all(out)
+    assert frames.shape == (T, H, W, 3)
+    # left and right eyes must differ around the moving box
+    assert (frames[:, :, : W // 2] != frames[:, :, W // 2 :]).any()
+
+
+def test_mesh_render_small_clip_falls_back(tmp_path):
+    """A clip shorter than 2 frames/segment silently renders single-device."""
+    clip = str(tmp_path / "tiny.y4m")
+    depth = str(tmp_path / "tinyd.y4m")
+    _write_clip(clip, t=5)
+    _write_depth(depth, t=5)
+    cfg = RenderConfig(output_format="Half-SBS", output_height=H,
+                       preserve_original_aspect=True, chunk_size=4,
+                       checkpoint_every_chunks=0, mesh="dp=8")
+    out = str(tmp_path / "o.y4m")
+    prog = render_stereo_video(clip, depth, out, StereoParams(blur_ksize=3),
+                               cfg)
+    assert prog.frames_done == 5
+    assert _read_all(out).shape == (5, H, W, 3)
+
+
+def test_depth_mesh_matches_single(tmp_path):
+    """Feed-forward depth: frame-DP sharding is semantics-free — the
+    dp=4 output must be bit-identical to mesh=off."""
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+    from visiondepth3d_tpu.pipeline.depth_pipeline import (
+        DepthConfig,
+        render_depth_video_file,
+    )
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip, t=10)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                          inference_size=28)
+    outs = {}
+    for spec in ("off", "dp=4"):
+        cfg = DepthConfig(inference_size=28, batch_size=4, mesh=spec)
+        out = str(tmp_path / f"d_{spec.replace('=', '')}.y4m")
+        n = render_depth_video_file(clip, out, cfg, predictor=pred)
+        assert n == 10
+        outs[spec] = _read_all(out)
+    assert np.array_equal(outs["off"], outs["dp=4"])
+
+
+def test_depthcrafter_mesh_route(tmp_path):
+    """DepthCrafter route with a mesh: windows denoise in parallel
+    (run_raw_parallel); stream must produce the full frame count."""
+    from visiondepth3d_tpu.depth.diffusion import tiny_depthcrafter
+    from visiondepth3d_tpu.pipeline.depth_pipeline import (
+        DepthConfig,
+        _render_depth_diffusion,
+    )
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip, t=14)
+    pipe = tiny_depthcrafter(steps=1, window=4, overlap=2)
+    cfg = DepthConfig(model="depthcrafter", steps=1, window_size=4,
+                      overlap=2, max_segment_frames=8, target_fps=24.0,
+                      allow_random=True, bits=16, mesh="dp=2")
+    out = str(tmp_path / "d.vd16")
+    n = _render_depth_diffusion(clip, out, cfg, pipeline=pipe)
+    assert n == 14
+    from visiondepth3d_tpu.io.depth_io import open_depth_reader
+
+    dd = open_depth_reader(out)
+    frames = list(iter(dd))
+    dd.close()
+    assert len(frames) == 14
+    assert all(np.isfinite(f).all() for f in frames)
+
+
+def test_mesh_resume_rejected(tmp_path):
+    clip = str(tmp_path / "c.y4m")
+    depth = str(tmp_path / "d.y4m")
+    _write_clip(clip)
+    _write_depth(depth)
+    from visiondepth3d_tpu.pipeline.mesh_render import render_stereo_video_mesh
+
+    cfg = RenderConfig(resume=True)
+    with pytest.raises(ValueError, match="resume"):
+        render_stereo_video_mesh(clip, depth, str(tmp_path / "o.y4m"),
+                                 StereoParams(), cfg, mesh_axes={"dp": 2})

@@ -75,8 +75,21 @@ def _build_render_parser(sub):
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--skip-blank-frames", action="store_true")
     p.add_argument("--auto-crop-black-bars", action="store_true")
+    p.add_argument("--mesh", default="auto",
+                   help="multi-device execution: 'auto' (all devices, "
+                        "segment-DP; single-device unchanged on 1 chip), "
+                        "'dp=N[,sp=M]' to pin the mesh, 'off' to disable")
+    p.add_argument("--mesh-snap-scenes", action="store_true",
+                   help="snap DP segment boundaries to scene cuts "
+                        "(extra host decode pass)")
     p.add_argument("--preset", default=None,
                    help="builtin preset name or path to a preset JSON")
+    p.add_argument("--control", default=None, metavar="FILE",
+                   help="cooperative suspend/resume/cancel (the reference's "
+                        "in-loop flag poll, render_3d.py:1195-1220): the "
+                        "file is polled between chunks — write 'pause' to "
+                        "suspend, 'run' (or empty) to resume, 'cancel' to "
+                        "stop cleanly")
     p.add_argument("--dry-run", action="store_true")
     _add_param_flags(p)
     return p
@@ -116,6 +129,8 @@ def cmd_render(args) -> int:
         chunk_size=args.chunk_size,
         skip_blank_frames=args.skip_blank_frames,
         auto_crop_black_bars=args.auto_crop_black_bars,
+        mesh=args.mesh,
+        mesh_snap_scenes=args.mesh_snap_scenes,
     )
 
     if args.batch_videos:
@@ -177,8 +192,15 @@ def cmd_render(args) -> int:
             print(t("render.fused_family", model=args.model))
             return 2
 
+    cancel_check = None
+    if args.control:
+        from ..utils.observability import make_control_check
+
+        cancel_check = make_control_check(args.control)
+
     prog = render_stereo_video(args.input, args.depth, output, params, cfg,
-                               progress_cb=progress, predictor=predictor)
+                               progress_cb=progress, predictor=predictor,
+                               cancel_check=cancel_check)
     print("\n" + t("render.done", frames=prog.frames_done, fps=prog.fps,
                    output=output))
     return 0
@@ -279,7 +301,9 @@ def cmd_scenes(args) -> int:
     out_dir = args.output or os.path.splitext(args.input)[0] + "_scenes"
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.input))[0]
-    starts = cuts or [0]  # detect_scenes always leads with frame 0
+    starts = list(cuts) or [0]
+    if starts[0] != 0:  # enforce the lead-with-0 invariant here rather
+        starts.insert(0, 0)  # than relying on detect_scenes' contract
     n = 0
     with open_video(args.input) as rd:
         wr, idx = None, 0
@@ -380,6 +404,19 @@ def cmd_preview(args) -> int:
     from ..io.video import open_video
     from ..preview import render_preview, save_preview_set
 
+    if args.serve:
+        from ..preview import serve_preview
+
+        def started(port):
+            print(f"preview UI at http://localhost:{port} — "
+                  "Ctrl-C (or quit:true in the session file) to stop")
+
+        n = serve_preview(args.input, args.depth, args.output_dir,
+                          port=args.serve, session_path=args.watch,
+                          server_started=started)
+        print(f"\n{n} renders -> {args.output_dir}")
+        return 0
+
     if args.watch:
         from ..preview import watch_preview
 
@@ -453,6 +490,11 @@ def main(argv=None) -> int:
                     "instead of the default fast head")
     dp.add_argument("--tile-overlap", type=int, default=64,
                     help="tile overlap in working-resolution pixels")
+    dp.add_argument("--mesh", default="auto",
+                    help="multi-device execution: 'auto' (frame-DP over "
+                         "the batch / DepthCrafter window-CP when more "
+                         "than one device is visible), 'dp=N' to pin, "
+                         "'off' to disable")
 
     fr = sub.add_parser("frames", help="extract video frames to a folder / "
                                        "assemble a folder back into video")
@@ -533,7 +575,8 @@ def main(argv=None) -> int:
     sc.add_argument("--input", required=True)
     sc.add_argument("--threshold", type=float, default=27.0)
     sc.add_argument("--split", action="store_true",
-                    help="export one clip per scene")
+                    help="export one clip per scene (uncompressed .y4m — "
+                         "large on disk; re-encode with ffmpeg if needed)")
     sc.add_argument("--output", default=None, help="scene-clip directory")
 
     pv = sub.add_parser("preview", help="single-frame diagnostic render")
@@ -545,6 +588,10 @@ def main(argv=None) -> int:
     pv.add_argument("--watch", default=None, metavar="SESSION_JSON",
                     help="interactive mode: watch this params file and "
                          "re-render on every save (debounced)")
+    pv.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="graphical mode: serve a live web UI (preview "
+                         "image + param form, two-way bound to the "
+                         "session file) at http://localhost:PORT")
 
     args = ap.parse_args(argv)
     import os

@@ -125,16 +125,39 @@ class DepthCrafterPipeline:
                 self.unet_params, cw[None], ctx, (nw * sigma0)[None]
             )[0]
 
+        g = cond_w.shape[0]
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # pad the window axis to a dp multiple (sharding needs even
+            # splits); padded windows recompute the last one and are
+            # discarded — segments normally carry >= dp windows
+            dp = mesh.shape.get("dp", 1)
+            pad = (-g) % dp
+            if pad:
+                cond_w = jnp.concatenate(
+                    [cond_w, jnp.repeat(cond_w[-1:], pad, axis=0)])
+                noise_w = jnp.concatenate(
+                    [noise_w, jnp.repeat(noise_w[-1:], pad, axis=0)])
             sh = NamedSharding(mesh, P("dp"))
             cond_w = jax.lax.with_sharding_constraint(cond_w, sh)
             noise_w = jax.lax.with_sharding_constraint(noise_w, sh)
-        return jax.vmap(one)(cond_w, noise_w)  # [G, Tw, h, w, 4]
+        return jax.vmap(one)(cond_w, noise_w)[:g]  # [G, Tw, h, w, 4]
 
     def run_parallel(self, frames01: np.ndarray, seed: int = 0, mesh=None):
-        """Throughput mode: window-parallel denoising (see above)."""
+        """Throughput mode: window-parallel denoising + whole-clip min-max
+        normalization (same output contract as __call__)."""
+        depth = self.run_raw_parallel(frames01, seed, mesh)
+        lo, hi = jnp.min(depth), jnp.max(depth)
+        return np.asarray(
+            jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1)
+        )
+
+    def run_raw_parallel(self, frames01: np.ndarray, seed: int = 0,
+                         mesh=None) -> jnp.ndarray:
+        """Window-parallel denoise, UNNORMALIZED [T, H, W] depth — the
+        streaming route (pipeline/depth_pipeline.py) stitches segments and
+        normalizes globally; with a mesh this is its per-segment worker."""
         frames01 = jnp.asarray(frames01, jnp.float32)
         t = frames01.shape[0]
         key = jax.random.PRNGKey(seed)
@@ -163,9 +186,7 @@ class DepthCrafterPipeline:
             out_latents = out_latents.at[start : start + tw].add(finals[g] * wgt)
             weights = weights.at[start : start + tw].add(wgt)
         out_latents = out_latents / jnp.maximum(weights, 1e-8)
-        depth = self._decode(self.vae_params, out_latents)
-        lo, hi = jnp.min(depth), jnp.max(depth)
-        return np.asarray(jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-9), 0, 1))
+        return self._decode(self.vae_params, out_latents)  # [T, H, W]
 
     def __call__(self, frames01: np.ndarray, seed: int = 0) -> np.ndarray:
         """frames01: [T, H, W, 3] in [0, 1] -> [T, H, W] depth in [0, 1]

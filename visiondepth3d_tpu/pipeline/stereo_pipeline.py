@@ -55,6 +55,14 @@ class RenderConfig:
     # device->host traffic and the host write leg becomes pure fwrite
     # (benchmarks/host_io.py). Applies when the writer takes planes (y4m).
     device_yuv: bool = True
+    # Multi-device execution (SURVEY §2.8 -> product): "auto" = segment-DP
+    # over every device when more than one is visible (single-device
+    # behavior is unchanged on a 1-chip host); "dp=N[,sp=M]" pins the mesh;
+    # "off" forces single-device. See pipeline/mesh_render.py.
+    mesh: str | None = "auto"
+    # snap DP segment boundaries to detected scene cuts (extra host decode
+    # pass; makes the per-segment tracker warm-up land on cuts)
+    mesh_snap_scenes: bool = False
 
 
 def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
@@ -81,11 +89,11 @@ def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
     return top, bottom
 
 
-def make_chunk_fn(
+def make_chunk_body(
     params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
     predictor=None,
 ) -> Callable:
-    """Build the jitted chunk function: u8 in -> packed u8 out.
+    """Build the UNJITTED chunk body: u8 in -> packed u8 out.
 
     With ``predictor`` (a DepthPredictor), depth is inferred INSIDE the
     same graph — the fused single-pass 2D->3D route (what bench.py and
@@ -93,7 +101,10 @@ def make_chunk_fn(
     always round-trips a quantized depth video between its two tabs;
     here the depth map flows to the warp at full float precision without
     ever touching the host. Without ``predictor``, depth arrives as the
-    u16-quantized stream of a previous `vd3d depth` pass."""
+    u16-quantized stream of a previous `vd3d depth` pass.
+
+    Callers jit it directly (make_chunk_fn) or vmap it over video
+    segments first (pipeline.mesh_render, frame-DP over a device mesh)."""
     params = params.replace(warp_hw=(geom.warp_h, geom.warp_w))
     try:
         params = params.with_shift_bound(geom.warp_w)
@@ -138,7 +149,7 @@ def make_chunk_fn(
             frames = resize_bilinear(frames, (geom.eye_h, geom.eye_w))
             return finish(trackers, frames, depths, blanks)
 
-        return jax.jit(chunk_fused, donate_argnums=(0,))
+        return chunk_fused
 
     def chunk_fn(trackers, frames_u8, depths_u16, blanks):
         frames = u8_to_float(frames_u8)  # [T, H, W, 3]
@@ -152,7 +163,16 @@ def make_chunk_fn(
         depths = resize_bilinear(depths, (geom.eye_h, geom.eye_w))
         return finish(trackers, frames, depths, blanks)
 
-    return jax.jit(chunk_fn, donate_argnums=(0,))
+    return chunk_fn
+
+
+def make_chunk_fn(
+    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
+    predictor=None,
+) -> Callable:
+    """Jitted single-device chunk function (see make_chunk_body)."""
+    body = make_chunk_body(params, geom, cfg, predictor=predictor)
+    return jax.jit(body, donate_argnums=(0,))
 
 
 @dataclasses.dataclass
@@ -190,6 +210,18 @@ def render_stereo_video(
         raise ValueError("need a depth video or a depth predictor")
     if depth_path is not None and predictor is not None:
         raise ValueError("pass either depth_path or predictor, not both")
+    cfg_probe = cfg or RenderConfig()
+    if not cfg_probe.resume:
+        from .mesh_render import parse_mesh_spec
+
+        axes = parse_mesh_spec(cfg_probe.mesh)
+        if axes is not None:
+            from .mesh_render import render_stereo_video_mesh
+
+            return render_stereo_video_mesh(
+                input_path, depth_path, output_path, params, cfg_probe,
+                progress_cb, cancel_check, predictor, mesh_axes=axes,
+                snap_scenes=cfg_probe.mesh_snap_scenes)
     params = params or StereoParams()
     # fail on malformed params BEFORE the output file is opened — otherwise
     # a typo'd --image_dtype leaves a partial .y4m behind
