@@ -161,8 +161,29 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     from .convert import convert_depth_anything, load_safetensors_state
     from .model import DepthPredictor, init_random
 
+    # fast_head is a feed-forward-family knob; pop it so loaders without
+    # **kwargs (diffusion, ADVICE r2) never see it — e.g. a 'local:' dir
+    # whose base is a diffusion family arriving via render_depth_video_file
+    fast_head = bool(family_kw.pop("fast_head", False))
+    if name.startswith("onnx:"):
+        # arbitrary ONNX graph through the jax interpreter
+        # (render_depth.py:832-954 run_onnx analog)
+        from .onnx_exec import OnnxDepthPredictor
+
+        return OnnxDepthPredictor(name[len("onnx:"):], inference_size)
     if name.startswith("local:"):
+        import os
+
         root = name[len("local:"):]
+        onnx_path = (root if root.endswith(".onnx")
+                     else os.path.join(root, "model.onnx"))
+        if not os.path.exists(os.path.join(root, "vd3d.json")) and \
+                os.path.exists(onnx_path):
+            # [Local] folder holding a raw model.onnx: run it directly
+            # (reference [Local] discovery, render_depth.py:716-724)
+            from .onnx_exec import OnnxDepthPredictor
+
+            return OnnxDepthPredictor(onnx_path, inference_size)
         entry = resolve_local_model(root)
         if checkpoint is None:
             checkpoint = load_local_params(root)
@@ -183,14 +204,14 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
                 load_safetensors_state(checkpoint), cfg
             )
         return DepthPredictor(cfg, params, inference_size, dtype=dtype,
-                              fast_head=bool(family_kw.get("fast_head", False)))
+                              fast_head=fast_head)
     if entry.family == "dpt_beit":
         import jax
         import jax.numpy as jnp
 
         from .dpt_beit import DPTBEiT, convert_dpt_beit
 
-        model = DPTBEiT(cfg, fast_head=bool(family_kw.get("fast_head", False)))
+        model = DPTBEiT(cfg, fast_head=fast_head)
         if checkpoint is None:
             s2 = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
@@ -207,7 +228,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         from .dpt_hybrid import DPTHybrid, convert_dpt_hybrid
 
-        model = DPTHybrid(cfg, fast_head=bool(family_kw.get("fast_head", False)))
+        model = DPTHybrid(cfg, fast_head=fast_head)
         if checkpoint is None:
             s = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
@@ -225,7 +246,7 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         from .convert_dpt import convert_dpt_classic
         from .dpt_classic import DPTClassic
 
-        model = DPTClassic(cfg, fast_head=bool(family_kw.get("fast_head", False)))
+        model = DPTClassic(cfg, fast_head=fast_head)
         if checkpoint is None:
             s = inference_size - inference_size % cfg.backbone.patch_size
             params = model.init(
@@ -348,7 +369,9 @@ def resolve_local_model(path: str) -> ModelEntry:
     if not os.path.isdir(path) or not os.path.exists(meta_path):
         raise FileNotFoundError(
             f"local model dir {path!r} needs a vd3d.json "
-            "({'family': ..., 'base': <catalog name>})"
+            "({'family': ..., 'base': <catalog name>}) with converted "
+            ".safetensors, or a raw model.onnx (runs through the jax "
+            "ONNX interpreter)"
         )
     with open(meta_path) as f:
         meta = json.load(f)
