@@ -202,3 +202,34 @@ def test_cli_lang_switches_messages(tmp_path, capsys):
     out = capsys.readouterr().out
     assert fr.split("{")[0][:10] in out or "2" in out
     set_language("en")
+
+
+def test_make_control_check(tmp_path):
+    """Suspend/resume/cancel control file (render_3d.py:1195-1220 analog)."""
+    import threading
+    import time
+
+    from visiondepth3d_tpu.utils.observability import make_control_check
+
+    ctl = tmp_path / "ctl"
+    check = make_control_check(str(ctl), poll_s=0.05)
+    assert check() is False          # missing file -> run
+    ctl.write_text("run")
+    assert check() is False
+    ctl.write_text("cancel")
+    assert check() is True
+
+    # pause blocks until the state changes
+    ctl.write_text("pause")
+    released = []
+
+    def worker():
+        released.append(check())
+
+    th = threading.Thread(target=worker)
+    th.start()
+    time.sleep(0.15)
+    assert not released              # still suspended
+    ctl.write_text("run")
+    th.join(timeout=2.0)
+    assert released == [False]       # resumed, not cancelled

@@ -129,3 +129,35 @@ class RenderControl:
         while self._suspend.is_set() and not self._cancel.is_set():
             time.sleep(poll_s)
         return self._cancel.is_set()
+
+
+def make_control_check(path, poll_s: float = 0.5):
+    """Cooperative suspend/resume/cancel via a control file (the
+    reference's suspend_flag/cancel_flag Events polled in-loop,
+    render_3d.py:1195-1220, headless form).
+
+    Returns a ``cancel_check`` callable for the render loops: it reads
+    ``path`` between chunks; content 'cancel' returns True (stop),
+    'pause' blocks (polling every ``poll_s``) until the content changes —
+    suspension IS the callback not returning, which the pipelines
+    document — anything else (or a missing file) returns False.
+    """
+    import time as _time
+
+    def _state() -> str:
+        try:
+            with open(path) as f:
+                return f.read().strip().lower()
+        except OSError:
+            return ""
+
+    def check() -> bool:
+        while True:
+            s = _state()
+            if s == "cancel":
+                return True
+            if s != "pause":
+                return False
+            _time.sleep(poll_s)
+
+    return check
