@@ -95,7 +95,12 @@ class CrossAttention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads, self.head_dim)
 
-        out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        # multi_head_attention flash-es self-attention over the latent
+        # grid (9216 tokens at 768^2 input) — the logits never exist in
+        # HBM; cross-attention (77 text tokens) stays on the fused default
+        from ...ops.attention import multi_head_attention
+
+        out = multi_head_attention(split(q), split(k), split(v))
         out = out.reshape(x.shape[0], x.shape[1], inner)
         return nn.Dense(x.shape[-1], name="to_out")(out)
 

@@ -48,6 +48,13 @@ USE_VMEM_KERNEL = False
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
 _BLOCK = 512  # the kernel's default major block; pad seq to a multiple
 
+# Above this, flash is mandatory regardless of flags: materialized logits
+# stop being a bandwidth tax and become a memory wall. The SD2/SVD UNets
+# at product geometry attend over 96x96=9216 latent tokens — [B, H, N, N]
+# is 1.7 GB/layer f32 at B=1 and does not fit at DepthCrafter's B=24
+# window. 9216 is a 512-multiple, so the kernel runs pad-free.
+_FLASH_ALWAYS_SEQ = 4096
+
 _splash_cache: dict = {}
 
 
@@ -134,7 +141,11 @@ def multi_head_attention(q, k, v):
     fused default.
     """
     n = q.shape[1]
-    if n >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+    self_attn = k.shape[1] == n  # the flash path masks q/kv symmetrically
+    if n >= _FLASH_MIN_SEQ and self_attn and jax.default_backend() == "tpu":
+        if n >= _FLASH_ALWAYS_SEQ:
+            t = lambda x: jnp.swapaxes(x, 1, 2)  # BNHD -> BHND
+            return t(_flash_nhd(t(q), t(k), t(v)))
         if USE_VMEM_KERNEL:
             from .pallas_attention import MAX_RESIDENT_SEQ, vmem_attention
 
