@@ -7,11 +7,12 @@ metric head) -> metric head: seed bin regressor, 4 attractor refinement
 rounds over the fusion features, conditional log-binomial softmax over the
 bins, depth = sum(p_i * bin_center_i).
 
-This implements the single-domain head (bin_centers_type="softplus",
-ZoeDepthMetricDepthEstimationHead); the two-domain NYU+KITTI router (patch
-transformer + MLP domain classifier) routes between two such heads and is
-tracked for a follow-up. Numerics verified against transformers-torch
-offline (tests/test_zoedepth.py).
+Implements BOTH heads: the single-domain head (bin_centers_type=
+"softplus", ZoeDepthMetricDepthEstimationHead) and the two-domain
+NYU+KITTI router (patch transformer + MLP domain classifier routing
+between two such heads — ``ZoeDepthNK`` below, dispatched as the
+"zoedepth-nyu-kitti" catalog entry, registry.py). Numerics verified
+against transformers-torch offline (tests/test_zoedepth.py).
 """
 
 from __future__ import annotations

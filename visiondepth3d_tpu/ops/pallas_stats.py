@@ -43,7 +43,7 @@ def fits_vmem(shape) -> bool:
 
 def _qpair_kernel(iters: int, x_ref, q_ref, out_ref):
     x = x_ref[...]
-    inv_n = 1.0 / float(x.size)
+    n = float(x.size)
     q0 = q_ref[0]
     q1 = q_ref[1]
 
@@ -51,8 +51,10 @@ def _qpair_kernel(iters: int, x_ref, q_ref, out_ref):
         lo0, hi0, lo1, hi1 = carry
         m0 = (lo0 + hi0) * 0.5
         m1 = (lo1 + hi1) * 0.5
-        f0 = jnp.sum((x <= m0).astype(jnp.float32)) * inv_n
-        f1 = jnp.sum((x <= m1).astype(jnp.float32)) * inv_n
+        # divide (not reciprocal-multiply) so the branch decision math is
+        # bit-identical to bisect_quantile_01's `sum / count` (ADVICE r2)
+        f0 = jnp.sum((x <= m0).astype(jnp.float32)) / n
+        f1 = jnp.sum((x <= m1).astype(jnp.float32)) / n
         g0 = f0 < q0
         g1 = f1 < q1
         return (
