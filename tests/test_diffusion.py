@@ -155,3 +155,33 @@ def test_depthcrafter_parallel_seam_quality(rng):
     )
     # and the parallel mode must not smooth everything into mush either
     assert jp.mean() >= 0.1 * js.mean()
+
+
+def test_marigold_run_ensemble_matches_serial():
+    """run_ensemble (batched members, one launch) must agree with the
+    serial __call__ ensemble: same per-member noise -> same median."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.depth.diffusion.marigold import tiny_marigold
+
+    pipe = tiny_marigold(steps=2)
+    pipe.ensemble_size = 3
+    rng = np.random.default_rng(7)
+    rgb = rng.random((2, 16, 16, 3), dtype=np.float32)
+
+    ens = np.asarray(pipe.run_ensemble(rgb, seed=5))
+    assert ens.shape == (2, 16, 16)
+    assert np.isfinite(ens).all()
+
+    # serial reference with the SAME noise tensors
+    stride = 2 ** (len(pipe.vae_cfg.block_out_channels) - 1)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (3, 2, 16 // stride, 16 // stride, pipe.vae_cfg.latent_channels),
+        jnp.float32)
+    outs = [np.asarray(pipe._run(pipe.unet_params, pipe.vae_params,
+                                 jnp.asarray(rgb), noise[e]))
+            for e in range(3)]
+    ref = np.median(np.stack(outs), axis=0)
+    np.testing.assert_allclose(ens, ref, atol=2e-5)

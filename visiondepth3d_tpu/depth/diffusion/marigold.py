@@ -69,6 +69,55 @@ class MarigoldPipeline:
 
         self._run = jax.jit(run)
 
+        def run_ens(unet_params, vae_params, rgb01, noise_e):
+            """Ensemble folded into the batch axis: encode ONCE, denoise
+            all E members in one batched graph, median on device. The
+            TPU-native formulation of the reference's serial
+            ensemble_size loop (render_depth.py:785) — one launch, the
+            MXU sees an E-fold batch, and the RGB latent is computed
+            once instead of E times."""
+            e = noise_e.shape[0]
+            b = rgb01.shape[0]
+            rgb = rgb01 * 2.0 - 1.0
+            rgb_latent = self.vae.apply(
+                {"params": vae_params}, rgb, method=AutoencoderKL.encode_mode
+            )  # [B, h8, w8, 4]
+            # member-major [e0(b0..), e1(b0..), ...] to pair with the
+            # noise reshape below
+            rgb_lat_e = jnp.tile(rgb_latent, (e, 1, 1, 1))  # [E*B, ...]
+            ctx = jnp.asarray(self.empty_text_embed, rgb.dtype)
+            ctx = jnp.broadcast_to(ctx, (e * b,) + ctx.shape[1:])
+            depth_latent = noise_e.reshape((e * b,) + noise_e.shape[2:])
+            for i in range(len(self.schedule.timesteps)):
+                t = int(self.schedule.timesteps[i])
+                inp = jnp.concatenate([rgb_lat_e, depth_latent], axis=-1)
+                v = self.unet.apply(
+                    {"params": unet_params}, inp,
+                    jnp.asarray(t, jnp.float32), ctx
+                )
+                depth_latent = self.schedule.step(v, i, depth_latent)
+            depth = self.vae.apply(
+                {"params": vae_params}, depth_latent,
+                method=AutoencoderKL.decode
+            )
+            depth = jnp.mean(depth, axis=-1)  # [E*B, H, W]
+            depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
+            return jnp.median(depth.reshape((e, b) + depth.shape[1:]),
+                              axis=0)
+
+        self._run_ens = jax.jit(run_ens)
+
+    def run_ensemble(self, rgb01: np.ndarray, seed: int = 0) -> jnp.ndarray:
+        """[B, H, W, 3] -> [B, H, W]; all ensemble members in ONE launch."""
+        rgb01 = jnp.asarray(rgb01)
+        b, h, w = rgb01.shape[0], rgb01.shape[1], rgb01.shape[2]
+        stride = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (self.ensemble_size, b, h // stride, w // stride,
+             self.vae_cfg.latent_channels), jnp.float32)
+        return self._run_ens(self.unet_params, self.vae_params, rgb01, noise)
+
     def __call__(self, rgb01: np.ndarray, seed: int = 0) -> jnp.ndarray:
         """[B, H, W, 3] float RGB in [0,1] -> [B, H, W] depth in [0,1].
 

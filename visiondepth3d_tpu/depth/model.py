@@ -135,8 +135,18 @@ def init_random_model(model, input_shape: tuple, seed: int = 0) -> dict:
     ~2 min through the axon relay for ViT-S; the BEiT-L init graph killed
     the relay compiler outright) just to produce throwaway weights.
     """
-    x = jax.ShapeDtypeStruct(input_shape, jnp.float32)
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)["params"]
+    return init_random_model_args(
+        model, (jax.ShapeDtypeStruct(input_shape, jnp.float32),), seed)
+
+
+def init_random_model_args(model, args: tuple, seed: int = 0) -> dict:
+    """init_random_model for models whose ``__call__`` takes several args
+    (diffusion UNets: latents, timestep, context). Tuple entries may be
+    shape tuples (-> f32 ShapeDtypeStructs) or ready specs/arrays."""
+    specs = [jax.ShapeDtypeStruct(a, jnp.float32) if isinstance(a, tuple)
+             else a for a in args]
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            *specs)["params"]
     rng = np.random.default_rng(seed)
 
     def make(path, leaf):
