@@ -73,8 +73,9 @@ def main():
     pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=518),
                           inference_size=518, dtype="bfloat16")
     params = StereoParams(enable_healing=True)
+    chunk = int(os.environ.get("E2E_CHUNK", "16"))
     cfg = RenderConfig(output_format="Full-SBS", output_height=1080,
-                       chunk_size=16, checkpoint_every_chunks=0,
+                       chunk_size=chunk, checkpoint_every_chunks=0,
                        mesh="off")
 
     # warm the compile cache on a short window so the measured run is
@@ -113,6 +114,118 @@ def main():
     }), flush=True)
 
 
+def legs():
+    """Attribute the e2e time: decode-only, decode+compute (1-byte
+    checksum readback), and the full path with output readback+write.
+    The deltas demonstrate which legs overlap and which bound the rig
+    (E2E_FRAMES=200 keeps this quick)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vd3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from visiondepth3d_tpu.depth import DA_V2_SMALL, DepthPredictor, init_random
+    from visiondepth3d_tpu.io.y4m import Y4MPlaneReader, Y4MReader
+    from visiondepth3d_tpu.pipeline.geometry import resolve_geometry
+    from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+        RenderConfig,
+        make_chunk_fn,
+    )
+    from visiondepth3d_tpu.state import init_trackers
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    n_frames = int(os.environ.get("E2E_FRAMES", "200"))
+    work = os.environ.get("E2E_DIR", "/dev/shm/vd3d_e2e")
+    clip = os.path.join(work, "clip1080.y4m")
+    if not os.path.exists(clip):
+        os.makedirs(work, exist_ok=True)
+        gen_clip(clip, max(n_frames, 1000))
+
+    out = {}
+
+    # -- decode legs --
+    for name, opener in (("decode_rgb", Y4MReader),
+                         ("decode_planes", Y4MPlaneReader)):
+        rd = opener(clip)
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            if rd.read() is None:
+                break
+        out[name + "_fps"] = round(n_frames / (time.perf_counter() - t0), 1)
+        rd.close()
+
+    pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=518),
+                          inference_size=518, dtype="bfloat16")
+    params = StereoParams(enable_healing=True)
+    cfg = RenderConfig(output_format="Full-SBS", output_height=1080,
+                       chunk_size=16, mesh="off")
+    geom = resolve_geometry(1920, 1080, "Full-SBS", 1080,
+                            "Default (16:9)", False, 0, 0)
+    fn = make_chunk_fn(params, geom, cfg, predictor=pred, yuv_in=True)
+
+    def read_chunks(k):
+        rd = Y4MPlaneReader(clip)
+        for _ in range(k):
+            fs = [rd.read() for _ in range(16)]
+            yield (np.stack([f[0] for f in fs]),
+                   np.stack([f[1] for f in fs]),
+                   np.stack([f[2] for f in fs]))
+        rd.close()
+
+    k = n_frames // 16
+    # -- decode + compute, 4-byte checksum readback (no output fetch) --
+    tr = init_trackers(geom.eye_h, geom.eye_w)
+    chunks = read_chunks(k)
+    first = next(chunks)
+    tr, o = fn(tr, first, np.zeros(16, bool))
+    float(jnp.sum(o.astype(jnp.uint32)))  # warm/compile fence
+    t0 = time.perf_counter()
+    acc = None
+    for fb in chunks:
+        tr, o = fn(tr, fb, np.zeros(16, bool))
+        acc = jnp.sum(o.astype(jnp.uint32))
+    float(acc)
+    out["decode_plus_compute_fps"] = round(
+        (k - 1) * 16 / (time.perf_counter() - t0), 1)
+
+    # -- full: + packed-plane readback + y4m write --
+    from visiondepth3d_tpu.ops.convert import rgb_u8_to_yuv420
+    from visiondepth3d_tpu.io import Y4MWriter
+
+    @jax.jit
+    def pack(frames_u8):
+        y, u, v = rgb_u8_to_yuv420(frames_u8)
+        t, hh, ww = y.shape
+        return jnp.concatenate([y, u.reshape(t, hh // 4, ww),
+                                v.reshape(t, hh // 4, ww)], axis=1)
+
+    wr = Y4MWriter(os.path.join(work, "legs_out.y4m"),
+                   geom.out_w, geom.out_h, 30.0)
+    tr = init_trackers(geom.eye_h, geom.eye_w)
+    chunks = read_chunks(k)
+    tr, o = fn(tr, next(chunks), np.zeros(16, bool))
+    _ = np.asarray(pack(o))
+    t0 = time.perf_counter()
+    pend = None
+    hh, ww, q = geom.out_h, geom.out_w, geom.out_h // 4
+    for fb in chunks:
+        tr, o = fn(tr, fb, np.zeros(16, bool))
+        o = pack(o)
+        if pend is not None:
+            host = np.asarray(pend)
+            for i in range(16):
+                wr.write_yuv420(host[i, :hh],
+                                host[i, hh:hh + q].reshape(hh // 2, ww // 2),
+                                host[i, hh + q:].reshape(hh // 2, ww // 2))
+        pend = o
+    host = np.asarray(pend)
+    out["full_e2e_fps"] = round((k - 1) * 16 / (time.perf_counter() - t0), 1)
+    wr.close()
+    print(json.dumps({"metric": "product e2e leg attribution", **out}),
+          flush=True)
+
+
 def _stop_after_frames(n):
     seen = {"v": 0}
 
@@ -127,4 +240,9 @@ def _stop_after_frames(n):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--legs" in sys.argv:
+        legs()
+    else:
+        main()

@@ -321,3 +321,75 @@ def test_fused_single_pass_render(tmp_path):
 
     with pytest.raises(ValueError):
         render_stereo_video(str(src), None, str(out))
+
+
+def test_yuv_plane_reader_device_convert_bit_exact(tmp_path):
+    """Y4MPlaneReader + device yuv420_to_rgb_u8 must reproduce the C++
+    reader's RGB bytes exactly (same BT.601 integer math both sides)."""
+    import numpy as np
+
+    from visiondepth3d_tpu.io import Y4MWriter
+    from visiondepth3d_tpu.io.y4m import Y4MPlaneReader, Y4MReader
+    from visiondepth3d_tpu.ops.convert import yuv420_to_rgb_u8
+
+    p = str(tmp_path / "c.y4m")
+    rng = np.random.default_rng(0)
+    with Y4MWriter(p, 64, 48, 24.0) as wr:
+        for _ in range(3):
+            wr.write(rng.integers(0, 256, (48, 64, 3), np.uint8))
+    rgb_frames = []
+    with Y4MReader(p) as rd:
+        for f in rd:
+            rgb_frames.append(f)
+    with Y4MPlaneReader(p) as pr:
+        assert pr.count() == 3
+        for i in range(3):
+            y, u, v = pr.read()
+            got = np.asarray(yuv420_to_rgb_u8(y, u, v))
+            assert np.array_equal(got, rgb_frames[i]), f"frame {i}"
+
+
+def test_render_device_yuv_in_matches_host_decode(tmp_path):
+    """device_yuv_in=True (raw planes to device) must produce the exact
+    same render as the host-decode path."""
+    import dataclasses
+
+    import numpy as np
+
+    from visiondepth3d_tpu.io import Y4MWriter
+    from visiondepth3d_tpu.io.y4m import Y4MReader
+    from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+        RenderConfig,
+        render_stereo_video,
+    )
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    h, w, t = 48, 64, 8
+    clip = str(tmp_path / "clip.y4m")
+    depth = str(tmp_path / "depth.y4m")
+    rng = np.random.default_rng(1)
+    with Y4MWriter(clip, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f = np.zeros((h, w, 3), np.uint8)
+            f[..., 0] = (xx * 3 + i * 9) % 256
+            f[..., 1] = (yy * 7) % 256
+            wr.write(f)
+    with Y4MWriter(depth, w, h, 24.0) as wr:
+        for i in range(t):
+            _, xx = np.mgrid[0:h, 0:w]
+            d = (xx / w * 200 + 20).astype(np.uint8)
+            wr.write(np.repeat(d[..., None], 3, -1))
+
+    base = RenderConfig(output_format="Half-SBS", output_height=h,
+                        preserve_original_aspect=True, chunk_size=4,
+                        checkpoint_every_chunks=0, mesh="off")
+    outs = {}
+    for flag in (True, False):
+        out = str(tmp_path / f"o{int(flag)}.y4m")
+        cfg = dataclasses.replace(base, device_yuv_in=flag)
+        render_stereo_video(clip, depth, out, StereoParams(blur_ksize=3),
+                            cfg)
+        with Y4MReader(out) as rd:
+            outs[flag] = np.stack(list(rd))
+    assert np.array_equal(outs[True], outs[False])

@@ -28,7 +28,7 @@ def _load_lib() -> ctypes.CDLL:
     if not _LIB_PATH.exists():
         subprocess.run(["/bin/sh", str(_LIB_DIR / "build.sh")], check=True)
     lib = ctypes.CDLL(str(_LIB_PATH))
-    if not hasattr(lib, "vd3d_y4m_seek"):  # stale build: rebuild once
+    if not hasattr(lib, "vd3d_y4m_open_raw"):  # stale build: rebuild once
         del lib
         subprocess.run(["/bin/sh", str(_LIB_DIR / "build.sh")], check=True)
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -53,6 +53,8 @@ def _load_lib() -> ctypes.CDLL:
     lib.vd3d_y4m_writer_close.argtypes = [ctypes.c_void_p]
     lib.vd3d_y4m_count.restype = ctypes.c_long
     lib.vd3d_y4m_count.argtypes = [ctypes.c_void_p]
+    lib.vd3d_y4m_open_raw.restype = ctypes.c_void_p
+    lib.vd3d_y4m_open_raw.argtypes = [ctypes.c_char_p]
     lib.vd3d_y4m_seek.restype = ctypes.c_int
     lib.vd3d_y4m_seek.argtypes = [ctypes.c_void_p, ctypes.c_long]
     _lib = lib
@@ -103,6 +105,62 @@ class Y4MReader:
         """Reposition to an absolute frame index (segment-parallel reads).
         Returns False when the stream isn't seekable at fixed records."""
         return bool(self._lib.vd3d_y4m_seek(self._h, int(frame_idx)))
+
+    def close(self):
+        if self._h is not None:
+            self._lib.vd3d_y4m_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Y4MPlaneReader:
+    """Raw-plane reader: yields (Y [H,W], U [H/2,W/2], V [H/2,W/2]) uint8.
+
+    The input analog of ``Y4MWriter.write_yuv420``: the host does a pure
+    fread (no colorspace math) and the DEVICE converts
+    (ops/convert.py:yuv420_to_rgb_u8, bit-exact vs the C++ path) — half
+    the host->device bytes of RGB and near-zero host decode CPU."""
+
+    def __init__(self, path: str | os.PathLike):
+        lib = _load_lib()
+        self._lib = lib
+        self._h = lib.vd3d_y4m_open_raw(str(path).encode())
+        if not self._h:
+            raise IOError(f"cannot open y4m: {path}")
+        w, h, fn, fd = (ctypes.c_int() for _ in range(4))
+        lib.vd3d_y4m_info(self._h, w, h, fn, fd)
+        self.width, self.height = w.value, h.value
+        self.fps = fn.value / max(fd.value, 1)
+        self._cw = (self.width + 1) // 2
+        self._ch = (self.height + 1) // 2
+        self._ysz = self.width * self.height
+        self._csz = self._cw * self._ch
+        self._buf = ctypes.create_string_buffer(self._ysz + 2 * self._csz)
+
+    def read(self):
+        if self._h is None:
+            return None
+        ok = self._lib.vd3d_y4m_read(self._h, self._buf)
+        if not ok:
+            return None
+        raw = np.frombuffer(self._buf, dtype=np.uint8)
+        y = raw[: self._ysz].reshape(self.height, self.width).copy()
+        u = raw[self._ysz : self._ysz + self._csz].reshape(
+            self._ch, self._cw).copy()
+        v = raw[self._ysz + self._csz :].reshape(self._ch, self._cw).copy()
+        return y, u, v
+
+    def seek(self, frame_idx: int) -> bool:
+        return bool(self._lib.vd3d_y4m_seek(self._h, int(frame_idx)))
+
+    def count(self) -> int | None:
+        n = self._lib.vd3d_y4m_count(self._h)
+        return None if n < 0 else int(n)
 
     def close(self):
         if self._h is not None:

@@ -119,6 +119,7 @@ struct Reader {
   std::string path;
   Y4MInfo info;
   size_t ysz = 0, csz = 0;
+  bool raw_planes = false;  // stage Y/U/V bytes, skip RGB conversion
   std::vector<uint8_t> ybuf, ubuf, vbuf;
 
   // double-buffer prefetch
@@ -130,7 +131,7 @@ struct Reader {
   bool eof = false;
   std::atomic<bool> stop{false};
 
-  bool read_frame_raw(uint8_t* rgb) {
+  bool read_frame_raw(uint8_t* dst) {
     char marker[6];
     if (fread(marker, 1, 5, f) != 5) return false;
     if (strncmp(marker, "FRAME", 5) != 0) return false;
@@ -138,16 +139,25 @@ struct Reader {
     while ((ch = fgetc(f)) != '\n') {
       if (ch == EOF) return false;
     }
+    if (raw_planes) {
+      // plane passthrough: the device does the colorspace math
+      // (ops/convert.py yuv420_to_rgb_u8) — host decode is pure fread
+      if (fread(dst, 1, ysz, f) != ysz) return false;
+      if (fread(dst + ysz, 1, csz, f) != csz) return false;
+      if (fread(dst + ysz + csz, 1, csz, f) != csz) return false;
+      return true;
+    }
     if (fread(ybuf.data(), 1, ysz, f) != ysz) return false;
     if (fread(ubuf.data(), 1, csz, f) != csz) return false;
     if (fread(vbuf.data(), 1, csz, f) != csz) return false;
     yuv420_to_rgb(ybuf.data(), ubuf.data(), vbuf.data(),
-                  info.width, info.height, rgb);
+                  info.width, info.height, dst);
     return true;
   }
 
   void prefetch_loop() {
-    std::vector<uint8_t> local((size_t)info.width * info.height * 3);
+    std::vector<uint8_t> local(raw_planes ? (ysz + 2 * csz)
+                                          : (size_t)info.width * info.height * 3);
     while (!stop.load()) {
       if (!read_frame_raw(local.data())) {
         std::lock_guard<std::mutex> lk(mu);
@@ -175,12 +185,13 @@ struct Writer {
 
 extern "C" {
 
-void* vd3d_y4m_open(const char* path) {
+static void* y4m_open_impl(const char* path, int raw_planes) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   auto* r = new Reader();
   r->f = f;
   r->path = path;
+  r->raw_planes = raw_planes != 0;
   if (!parse_y4m_header(f, &r->info)) {
     fclose(f);
     delete r;
@@ -192,10 +203,16 @@ void* vd3d_y4m_open(const char* path) {
   r->ybuf.resize(r->ysz);
   r->ubuf.resize(r->csz);
   r->vbuf.resize(r->csz);
-  r->staged.resize(r->ysz * 3);
+  r->staged.resize(r->raw_planes ? (r->ysz + 2 * r->csz) : r->ysz * 3);
   r->worker = std::thread([r] { r->prefetch_loop(); });
   return r;
 }
+
+void* vd3d_y4m_open(const char* path) { return y4m_open_impl(path, 0); }
+
+// Raw-plane mode: vd3d_y4m_read fills ysz + 2*csz bytes (Y then U then V)
+// instead of RGB — the device runs the colorspace conversion.
+void* vd3d_y4m_open_raw(const char* path) { return y4m_open_impl(path, 1); }
 
 void vd3d_y4m_info(void* handle, int* w, int* h, int* fps_num, int* fps_den) {
   auto* r = (Reader*)handle;

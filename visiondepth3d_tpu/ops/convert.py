@@ -66,6 +66,33 @@ def bgr_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     return img[..., ::-1]
 
 
+def yuv420_to_rgb_u8(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """YUV420 uint8 planes -> RGB uint8 [..., H, W, 3], bit-exact with the
+    C++ reader's yuv420_to_rgb (native/vd3d_media.cpp:40-57, BT.601
+    limited range, nearest chroma upsample).
+
+    The input analog of rgb_u8_to_yuv420: raw planes stream host->device
+    (1.5 bytes/px, half of RGB) and the colorspace math runs on the VPU —
+    the host decode leg becomes a pure fread (Y4MPlaneReader).
+    """
+    yi = jnp.asarray(y).astype(jnp.int32)
+    # nearest upsample: chroma sample (j//2, i//2) covers a 2x2 luma block
+    ui = jnp.repeat(jnp.repeat(jnp.asarray(u).astype(jnp.int32), 2,
+                               axis=-1), 2, axis=-2)
+    vi = jnp.repeat(jnp.repeat(jnp.asarray(v).astype(jnp.int32), 2,
+                               axis=-1), 2, axis=-2)
+    ui = ui[..., : yi.shape[-2], : yi.shape[-1]]
+    vi = vi[..., : yi.shape[-2], : yi.shape[-1]]
+    c = (yi - 16) * 298
+    d = ui - 128
+    e = vi - 128
+    r = jnp.right_shift(c + 409 * e + 128, 8)
+    g = jnp.right_shift(c - 100 * d - 208 * e + 128, 8)
+    b = jnp.right_shift(c + 516 * d + 128, 8)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+
+
 def rgb_u8_to_yuv420(rgb_u8: jnp.ndarray):
     """RGB uint8 [..., H, W, 3] -> (Y [..., H, W], U, V [..., H/2, W/2])
     uint8, bit-exact with the C++ writer's rgb_to_yuv420

@@ -55,6 +55,11 @@ class RenderConfig:
     # device->host traffic and the host write leg becomes pure fwrite
     # (benchmarks/host_io.py). Applies when the writer takes planes (y4m).
     device_yuv: bool = True
+    # ... and the same on the INPUT side: raw YUV420 planes stream to the
+    # device (half the host->device bytes of RGB) and yuv420_to_rgb_u8
+    # runs on the VPU, so host decode is a pure fread. Bit-exact vs the
+    # host conversion. Applies to plain .y4m inputs without a clip window.
+    device_yuv_in: bool = True
     # Multi-device execution (SURVEY §2.8 -> product): "auto" = segment-DP
     # over every device when more than one is visible (single-device
     # behavior is unchanged on a 1-chip host); "dp=N[,sp=M]" pins the mesh;
@@ -91,7 +96,7 @@ def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
 
 def make_chunk_body(
     params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
-    predictor=None,
+    predictor=None, yuv_in: bool = False,
 ) -> Callable:
     """Build the UNJITTED chunk body: u8 in -> packed u8 out.
 
@@ -118,6 +123,16 @@ def make_chunk_body(
             geom.crop_x : geom.crop_x + geom.crop_w,
         ]
 
+    def decode_in(frames_in):
+        """frames_in: RGB u8 [T,H,W,3], or (Y,U,V) planes in yuv mode —
+        the device-side inverse of the C++ reader's conversion."""
+        if yuv_in:
+            from ..ops.convert import yuv420_to_rgb_u8
+
+            yb, ub, vb = frames_in
+            return yuv420_to_rgb_u8(yb, ub, vb)
+        return frames_in
+
     def finish(trackers, frames, depths, blanks):
         trackers, outs = render_chunk(params, trackers, frames, depths, blanks)
 
@@ -141,7 +156,7 @@ def make_chunk_body(
     if predictor is not None:
 
         def chunk_fused(trackers, frames_u8, blanks):
-            frames = crop(u8_to_float(frames_u8))  # [T, ch, cw, 3]
+            frames = crop(u8_to_float(decode_in(frames_u8)))  # [T,ch,cw,3]
             # inline inference on the cropped source; the predictor emits
             # per-batch-normalized [0,1] depth directly at eye resolution
             depths = predictor.predict_01(frames,
@@ -152,7 +167,7 @@ def make_chunk_body(
         return chunk_fused
 
     def chunk_fn(trackers, frames_u8, depths_u16, blanks):
-        frames = u8_to_float(frames_u8)  # [T, H, W, 3]
+        frames = u8_to_float(decode_in(frames_u8))  # [T, H, W, 3]
         # depth ships as lossless uint16 (8-bit k/255 == k*257/65535 exactly)
         depths = depths_u16.astype(jnp.float32) / 65535.0  # [T, Hd, Wd]
         if depths.shape[1:] != frames.shape[1:3]:
@@ -168,10 +183,11 @@ def make_chunk_body(
 
 def make_chunk_fn(
     params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
-    predictor=None,
+    predictor=None, yuv_in: bool = False,
 ) -> Callable:
     """Jitted single-device chunk function (see make_chunk_body)."""
-    body = make_chunk_body(params, geom, cfg, predictor=predictor)
+    body = make_chunk_body(params, geom, cfg, predictor=predictor,
+                           yuv_in=yuv_in)
     return jax.jit(body, donate_argnums=(0,))
 
 
@@ -258,7 +274,22 @@ def render_stereo_video(
         except Exception:
             blank_set = set()
 
-    chunk_fn = make_chunk_fn(params, geom, cfg, predictor=predictor)
+    # raw-plane input: reopen the clip as a plane reader — host decode
+    # becomes pure fread, the device does yuv420->rgb (bit-exact)
+    yuv_in = (
+        cfg.device_yuv_in
+        and str(input_path).endswith(".y4m")
+        and cfg.start_s is None and cfg.end_s is None
+        and rd.width % 2 == 0 and rd.height % 2 == 0
+    )
+    if yuv_in:
+        from ..io.y4m import Y4MPlaneReader
+
+        rd.close()
+        rd = Y4MPlaneReader(input_path)
+        frame = None  # re-read frame 0 as planes
+    chunk_fn = make_chunk_fn(params, geom, cfg, predictor=predictor,
+                             yuv_in=yuv_in)
     trackers = init_trackers(geom.eye_h, geom.eye_w)
 
     # resume: restore trackers + skip already-rendered frames (y4m output
@@ -281,13 +312,29 @@ def render_stereo_video(
     t_chunk = cfg.chunk_size
 
     yuv_fn = None
+    yuv_packed = False
     if (cfg.device_yuv and hasattr(wr, "write_yuv420")
             and geom.out_w % 2 == 0 and geom.out_h % 2 == 0):
         import jax
 
         from ..ops.convert import rgb_u8_to_yuv420
 
-        yuv_fn = jax.jit(rgb_u8_to_yuv420)
+        if geom.out_h % 4 == 0:
+            # pack Y+U+V into ONE [T, 1.5H, W] array: a single
+            # device->host fetch per chunk (each fetch pays ~0.1 s relay
+            # latency on this rig; 3 plane fetches were pure overhead)
+            yuv_packed = True
+
+            def pack_planes(frames_u8):
+                y, u, v = rgb_u8_to_yuv420(frames_u8)
+                t, hh, ww = y.shape
+                return jnp.concatenate(
+                    [y, u.reshape(t, hh // 4, ww),
+                     v.reshape(t, hh // 4, ww)], axis=1)
+
+            yuv_fn = jax.jit(pack_planes)
+        else:
+            yuv_fn = jax.jit(rgb_u8_to_yuv420)
 
     pending = None  # (out, n, ckpt_or_None) — encode overlaps compute
     chunks_since_ckpt = 0
@@ -296,7 +343,16 @@ def render_stereo_video(
         if pending is None:
             return
         out, n, ckpt = pending
-        if yuv_fn is not None:
+        if yuv_packed:
+            host = np.asarray(out)  # sync point, ONE fetch
+            hh, ww = geom.out_h, geom.out_w
+            q = hh // 4
+            for i in range(n):
+                wr.write_yuv420(
+                    host[i, :hh],
+                    host[i, hh : hh + q].reshape(hh // 2, ww // 2),
+                    host[i, hh + q :].reshape(hh // 2, ww // 2))
+        elif yuv_fn is not None:
             y, u, v = (np.asarray(p) for p in out)  # sync point
             for i in range(n):
                 wr.write_yuv420(y[i], u[i], v[i])
@@ -310,7 +366,7 @@ def render_stereo_video(
             save_checkpoint(output_path, ckpt[0], ckpt[1])
 
     frame_idx = 0
-    frame = first
+    frame = None if yuv_in else first
     eof = False
     try:
         # fast-forward both streams past already-rendered frames
@@ -352,7 +408,12 @@ def render_stereo_video(
                 if dd is not None:
                     depths.append(depths[-1])
                 blanks.append(False)
-            fb = np.stack(frames)
+            if yuv_in:  # frames are (Y, U, V) plane tuples
+                fb = (np.stack([f[0] for f in frames]),
+                      np.stack([f[1] for f in frames]),
+                      np.stack([f[2] for f in frames]))
+            else:
+                fb = np.stack(frames)
             bb = np.asarray(blanks)
 
             if dd is None:
