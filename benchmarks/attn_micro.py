@@ -4,6 +4,10 @@ r1 results (us/call): xla f32 softmax 1993, bf16-softmax 1304, pallas
 flash default blocks 3592, flash tuned (block_q=seq, block_k=512) 1160.
 bf16-softmax wins in production because it runs at the unpadded length
 (1370 -> ~1040); see ops/attention.py."""
+
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, json, math
 import numpy as np
 import jax

@@ -10,6 +10,10 @@ NumpyMask so parity holds.
 Run: nohup python benchmarks/attn_probe2.py > /tmp/attn_probe2.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import math

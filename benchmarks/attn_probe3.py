@@ -5,6 +5,10 @@ shape [32, 1025, 16, 64].
 Run: nohup python benchmarks/attn_probe3.py > /tmp/attn3.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -12,6 +12,10 @@ the whole ESRGAN/RIFE/DPT-head conv inventory. Candidates, all exact:
 Run: nohup python benchmarks/conv_probe.py > /tmp/convp.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -12,6 +12,10 @@ attention probes account for ~1.1. This slices the rest:
 Run: nohup python benchmarks/depth_split.py > /tmp/depth_split.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

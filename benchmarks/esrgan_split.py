@@ -12,6 +12,10 @@ cfg4 measures 311 ms/frame. Pieces (bf16, B=2 frames like cfg4):
 Run: nohup python benchmarks/esrgan_split.py > /tmp/esr.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

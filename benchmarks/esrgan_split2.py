@@ -10,6 +10,10 @@ roofline. Controls at the exact production shape (B=2, 1080p, bf16):
 Run: nohup python benchmarks/esrgan_split2.py > /tmp/esr2.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

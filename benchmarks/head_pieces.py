@@ -20,6 +20,10 @@ Pieces (B=32 frames, DA-V2-S shapes, bf16):
 Run: nohup python benchmarks/head_pieces.py > /tmp/head_pieces.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -12,6 +12,10 @@ cumulatively to find where it goes:
 Run: nohup python benchmarks/head_split.py > /tmp/head_split.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

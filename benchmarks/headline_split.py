@@ -11,6 +11,10 @@ config (T=32, 1080p, DA-V2-S bf16 @ 518, bf16 stereo, Full-SBS pack):
 Run: nohup python benchmarks/headline_split.py > /tmp/headline_split.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

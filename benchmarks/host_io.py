@@ -16,6 +16,10 @@ Usage: python benchmarks/host_io.py [--frames 96] [--width 1920]
 Prints one JSON line per leg.
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

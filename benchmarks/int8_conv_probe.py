@@ -16,7 +16,11 @@ Probes (all [2, 1080, 1920, 64] -> 64ch 3x3, the RRDB hot shape):
 Run: nohup python benchmarks/int8_conv_probe.py > /tmp/int8probe.json 2>&1 &
 """
 
+
 from __future__ import annotations
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import time

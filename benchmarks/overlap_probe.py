@@ -10,6 +10,10 @@ as bench.py). If the win is real, the production chunk loop adopts it.
 Run: nohup python benchmarks/overlap_probe.py > /tmp/overlap.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -13,7 +13,11 @@ actually gets when all three run together.
 Run:  nohup python benchmarks/product_e2e.py > /tmp/e2e.json 2>/tmp/e2e.log &
 """
 
+
 from __future__ import annotations
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

@@ -20,7 +20,11 @@ measures the relay cache, not the chip. The original r2 harness had this
 flaw; numbers before the fix are struck in RESULTS.md.
 """
 
+
 from __future__ import annotations
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json
@@ -298,7 +302,7 @@ def config5():
     ucfg, vcfg = UNet2DConfig(), VAEConfig()
     unet, vae = UNet2DCondition(ucfg), AutoencoderKL(vcfg)
     up = init_random_model_args(
-        unet, ((1, 12, 12, ucfg.in_channels),
+        unet, ((1, 16, 16, ucfg.in_channels),
                jax.ShapeDtypeStruct((), jnp.float32),
                (1, 77, ucfg.cross_attention_dim)))
     vp = init_random_model_args(vae, ((1, 64, 64, 3),))
@@ -359,7 +363,7 @@ def config6():
     ucfg, vcfg = UNetSTConfig(), VAEConfig()
     unet, vae = UNetSpatioTemporal(ucfg), AutoencoderKL(vcfg)
     up = _bf16(init_random_model_args(
-        unet, ((1, 2, 12, 12, ucfg.in_channels),
+        unet, ((1, 2, 16, 16, ucfg.in_channels),
                jax.ShapeDtypeStruct((), jnp.float32),
                (1, 1, ucfg.cross_attention_dim))))
     vp = _bf16(init_random_model_args(vae, ((1, 64, 64, 3),)))
@@ -385,16 +389,25 @@ def config6():
     enc_b = 4
     frames0 = jax.device_put(rng.random((enc_b, H, W, 3), np.float32))
 
+    # params are explicit jit ARGUMENTS, not closure captures: captured
+    # device arrays are baked into the lowering as constants (2.25 GB for
+    # the ST-UNet), which stalls the compiler. Wrapping keeps ms_per_iter's
+    # fn(state) calling convention.
     @jax.jit
-    def enc_fn(carry):
+    def enc_jit(vp_, carry):
         x, acc = carry
-        lat = vae.apply({"params": vp}, x * 2.0 - 1.0,
+        lat = vae.apply({"params": vp_}, x * 2.0 - 1.0,
                         method=AutoencoderKL.encode_mode)
         acc = acc + jnp.sum(lat.astype(jnp.float32))
         x = x + (acc % 2).astype(x.dtype) * 1e-6  # chain input on carry
         return (x, acc), acc
 
+    def enc_fn(carry):
+        return enc_jit(vp, carry)
+
+    print(json.dumps({'cfg6_leg': 'enc start'}), flush=True)
     enc_ms = ms_per_iter(enc_fn, (frames0, jnp.float32(0))) / enc_b
+    print(json.dumps({'cfg6_leg': 'enc', 'ms_per_frame': round(enc_ms, 1)}), flush=True)
 
     # --- denoise leg: one window, 2 steps, one launch ---
     cond0 = jax.device_put(
@@ -402,7 +415,7 @@ def config6():
     sigma0 = float(sched.sigmas[0])
 
     @jax.jit
-    def den_fn(carry):
+    def den_jit(up_, carry):
         cond, acc = carry
         noise = cond[..., ::-1] * 0.7 + acc % 3  # cheap chained "noise"
         latent = noise * sigma0
@@ -411,26 +424,34 @@ def config6():
             c_skip, c_out, c_in = svd_precondition(sigma)
             inp = jnp.concatenate([latent * c_in, cond], axis=-1)
             t = jnp.asarray(0.25 * np.log(sigma), jnp.float32)
-            f = unet.apply({"params": up}, inp.astype(jnp.bfloat16), t, ctx)
+            f = unet.apply({"params": up_}, inp.astype(jnp.bfloat16), t, ctx)
             latent = sched.step(c_skip * latent + c_out
                                 * f.astype(jnp.float32), i, latent)
         acc = acc + jnp.sum(latent)
         cond = cond + (acc % 2) * 1e-6
         return (cond, acc), acc
 
+    def den_fn(carry):
+        return den_jit(up, carry)
+
+    print(json.dumps({'cfg6_leg': 'denoise start'}), flush=True)
     den_ms = ms_per_iter(den_fn, (cond0, jnp.float32(0)), iters=3)
+    print(json.dumps({'cfg6_leg': 'denoise', 'ms_per_window': round(den_ms, 1)}), flush=True)
 
     # --- decode leg: [4, h8, w8, 4] latents per launch ---
     lat0 = jax.device_put(
         rng.standard_normal((enc_b, h8, w8, 4)).astype(np.float32))
 
     @jax.jit
-    def dec_fn(carry):
+    def dec_jit(vp_, carry):
         z, acc = carry
-        d = vae.apply({"params": vp}, z, method=AutoencoderKL.decode)
+        d = vae.apply({"params": vp_}, z, method=AutoencoderKL.decode)
         acc = acc + jnp.sum(d.astype(jnp.float32))
         z = z + (acc % 2).astype(z.dtype) * 1e-6
         return (z, acc), acc
+
+    def dec_fn(carry):
+        return dec_jit(vp, carry)
 
     dec_ms = ms_per_iter(dec_fn, (lat0, jnp.float32(0))) / enc_b
 

@@ -18,6 +18,10 @@ dispatch), not on this rig.
 Run: ``python benchmarks/stage_pp_overlap.py``
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import time

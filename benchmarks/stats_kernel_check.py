@@ -3,6 +3,10 @@
 Run: nohup python benchmarks/stats_kernel_check.py > /tmp/stats_kernel.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

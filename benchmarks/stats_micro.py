@@ -9,6 +9,10 @@ VMEM-resident Pallas stats kernel (traffic-bound) or fewer iterations
 Run: nohup python benchmarks/stats_micro.py > /tmp/stats_micro.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

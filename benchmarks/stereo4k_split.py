@@ -12,6 +12,10 @@ Same ablation style as stereo_attribution2.py but at the cfg3 config
 Run: nohup python benchmarks/stereo4k_split.py > /tmp/s4k.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -4,6 +4,10 @@ Toggles stages/backends via StereoParams to attribute the per-frame cost
 (r1 measurements, f32 1080p: full 5.97 ms, warp=xla +7.9, heal -0.99,
 feather -0.37, edge-mask -0.10, grade+sharpen ~0, exact quantiles +8.3).
 Run with nohup and poll; see .claude/skills/verify/SKILL.md TPU notes."""
+
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, json
 import numpy as np
 import jax

@@ -7,6 +7,10 @@ harness isolates where it goes, with the same measurement discipline
 
 Run: nohup python benchmarks/stereo_attribution2.py > /tmp/attr2.log 2>&1 &
 """
+
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, json
 import numpy as np
 import jax

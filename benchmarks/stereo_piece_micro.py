@@ -11,6 +11,10 @@ a scalar host read.
 Run: nohup python benchmarks/stereo_piece_micro.py > /tmp/piece_micro.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

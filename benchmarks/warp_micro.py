@@ -14,6 +14,10 @@ plane-ops of actual tap math. Variants:
 Run: nohup python benchmarks/warp_micro.py > /tmp/warp_micro.log 2>&1 &
 """
 
+# allow `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import time

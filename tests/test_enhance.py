@@ -270,3 +270,53 @@ def test_apply_esrgan_staged_threshold():
     finally:
         pl_mod._STAGE_THRESHOLD_PX = orig
     np.testing.assert_allclose(np.asarray(out2), np.asarray(whole2), atol=0)
+
+
+def test_merged_pipeline_mesh_parity(tmp_path):
+    """`vd3d tools --mesh dp=8` semantics: sharding the chunk's frame axis
+    over the 8-virtual-device CPU mesh is bit-identical to single-device
+    (VERDICT r2 item 1 extended to the frame-tools pipeline)."""
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+
+    src = tmp_path / "in.y4m"
+    t, h, w = 11, 48, 64
+    rng = np.random.default_rng(7)
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            wr.write((rng.random((h, w, 3)) * 255).astype(np.uint8))
+    cfg = EnhanceConfig(
+        use_esrgan=True, esrgan_nb=1, esrgan_nf=16, esrgan_scale=4,
+        use_rife=True, fps_multiplier=2, chunk_size=8,
+        rife_scales=(2, 1), allow_random_weights=True,
+    )
+    ep, rp = init_enhance_params(cfg)
+    single = tmp_path / "single.y4m"
+    meshed = tmp_path / "meshed.y4m"
+    n1 = run_merged_pipeline(src, single, cfg, esrgan_params=ep,
+                             rife_params=rp)
+    n2 = run_merged_pipeline(src, meshed, cfg, esrgan_params=ep,
+                             rife_params=rp, mesh_axes={"dp": 8})
+    assert n1 == n2 == (t - 1) * 2 + 1
+    with Y4MReader(single) as rd:
+        a = np.stack(list(rd))
+    with Y4MReader(meshed) as rd:
+        b = np.stack(list(rd))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tools_cli_mesh_flag(tmp_path):
+    """--mesh parses and routes through cmd_tools."""
+    from visiondepth3d_tpu.cli.main import main as cli_main
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+
+    src = tmp_path / "in.y4m"
+    with Y4MWriter(src, 64, 48, 24.0) as wr:
+        for i in range(5):
+            wr.write(np.full((48, 64, 3), 30 + i * 11, np.uint8))
+    dst = tmp_path / "out.y4m"
+    rc = cli_main(["tools", "--input", str(src), "--output", str(dst),
+                   "--rife", "--chunk-size", "3", "--mesh", "dp=4",
+                   "--allow-random-weights"])
+    assert rc == 0
+    with Y4MReader(dst) as rd:
+        assert len(list(rd)) == 9

@@ -20,8 +20,32 @@ import sys
 
 from ..pipeline.stereo_pipeline import RenderConfig, render_stereo_video
 from ..stereo import StereoParams
-from ..config.i18n import set_language, t
+from ..config.i18n import set_language, t, th
 from ..config.presets import load_builtin, load_preset, params_to_dict
+
+
+class _I18nParser(argparse.ArgumentParser):
+    """ArgumentParser that routes every help string through the message
+    catalog (``th``: keyed by the English text, falls back to it). Sub-
+    parsers inherit the class via argparse's ``parser_class`` default, so
+    all 60+ help strings translate with zero call-site churn."""
+
+    def add_argument(self, *args, **kwargs):  # noqa: D102
+        if isinstance(kwargs.get("help"), str):
+            kwargs["help"] = th(kwargs["help"])
+        return super().add_argument(*args, **kwargs)
+
+    def add_subparsers(self, **kwargs):
+        action = super().add_subparsers(**kwargs)
+        orig = action.add_parser
+
+        def add_parser(name, **kw):
+            if isinstance(kw.get("help"), str):
+                kw["help"] = th(kw["help"])
+            return orig(name, **kw)
+
+        action.add_parser = add_parser
+        return action
 
 
 def _add_param_flags(p: argparse.ArgumentParser):
@@ -258,9 +282,20 @@ def cmd_tools(args) -> int:
     def progress(n, fps):
         print(f"\r{n} frames | {fps:.2f} fps", end="", flush=True)
 
+    from ..pipeline.mesh_render import parse_mesh_spec
+
+    mesh_axes = parse_mesh_spec(getattr(args, "mesh", "off"))
+    if mesh_axes and mesh_axes.get("sp", 1) > 1:
+        raise SystemExit("vd3d tools supports only the dp mesh axis")
+    cancel_check = None
+    if getattr(args, "control", None):
+        from ..utils.observability import make_control_check
+
+        cancel_check = make_control_check(args.control)
     n = run_merged_pipeline(args.input, output, cfg,
                             esrgan_params=esrgan_params,
-                            rife_params=rife_params, progress_cb=progress)
+                            rife_params=rife_params, progress_cb=progress,
+                            mesh_axes=mesh_axes, cancel_check=cancel_check)
     print("\n" + t("tools.done", frames=n, output=output))
     return 0
 
@@ -443,8 +478,22 @@ def cmd_preview(args) -> int:
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="vd3d",
-                                 description="TPU-native 2D->3D video suite")
+    import os
+
+    # language must be live BEFORE parsers are built so --help translates;
+    # --lang is pre-scanned from raw argv (it precedes the subcommand)
+    raw = sys.argv[1:] if argv is None else list(argv)
+    lang = os.environ.get("VD3D_LANG")
+    for i, a in enumerate(raw):
+        if a == "--lang" and i + 1 < len(raw):
+            lang = raw[i + 1]
+        elif a.startswith("--lang="):
+            lang = a.split("=", 1)[1]
+    if lang:
+        set_language(lang)
+
+    ap = _I18nParser(prog="vd3d",
+                     description=th("TPU-native 2D->3D video suite"))
     ap.add_argument("--lang", default=None, metavar="LANG",
                     help="message language (en/fr/de/es/ja; also "
                          "VD3D_LANG env)")
@@ -454,6 +503,9 @@ def main(argv=None) -> int:
     dp = sub.add_parser("depth", help="estimate a depth video from a 2D video")
     dp.add_argument("--input", required=True)
     dp.add_argument("--output", default=None)
+    dp.add_argument("--control", default=None, metavar="FILE",
+                    help="cooperative suspend/resume/cancel control file "
+                         "(same contract as vd3d render --control)")
     dp.add_argument("--model", default="depth-anything-v2-small")
     dp.add_argument("--inference-size", type=int, default=518)
     dp.add_argument("--batch-size", type=int, default=8)
@@ -533,6 +585,9 @@ def main(argv=None) -> int:
     tp = sub.add_parser("tools", help="RIFE interpolation + Real-ESRGAN upscale")
     tp.add_argument("--input", required=True)
     tp.add_argument("--output", default=None)
+    tp.add_argument("--control", default=None, metavar="FILE",
+                    help="cooperative suspend/resume/cancel control file "
+                         "(same contract as vd3d render --control)")
     tp.add_argument("--rife", action="store_true")
     tp.add_argument("--multiplier", type=int, default=2, choices=[2, 4, 8])
     tp.add_argument("--esrgan", action="store_true")
@@ -556,6 +611,10 @@ def main(argv=None) -> int:
     tp.add_argument("--allow-random-weights", action="store_true",
                     help="run without checkpoints (shape/compile testing "
                          "only; output is garbage)")
+    tp.add_argument("--mesh", default="off",
+                    help="'auto' to shard each chunk's frames over all "
+                         "devices, 'dp=N' to pin the device count, "
+                         "'off' (default) single-device")
 
     au = sub.add_parser("audio", help="rip / attach audio tracks (ffmpeg)")
     asub = au.add_subparsers(dest="audio_cmd", required=True)
@@ -593,6 +652,15 @@ def main(argv=None) -> int:
                          "image + param form, two-way bound to the "
                          "session file) at http://localhost:PORT")
 
+    sv = sub.add_parser("serve", help="full web control surface: the "
+                        "reference's tabbed app (render / depth / tools / "
+                        "audio / scenes) with a job queue and "
+                        "suspend/resume/cancel, at http://HOST:PORT")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 exposes the app to the "
+                         "network — it has no authentication)")
+
     args = ap.parse_args(argv)
     import os
 
@@ -619,6 +687,11 @@ def main(argv=None) -> int:
         return cmd_scenes(args)
     if args.cmd == "preview":
         return cmd_preview(args)
+    if args.cmd == "serve":
+        from ..serve import serve as _serve
+
+        _serve(port=args.port, host=args.host)
+        return 0
     return 1
 
 

@@ -50,10 +50,12 @@ class Conv3x3(nn.Module):
                             (3, 3, c, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        from ..ops import pallas_conv
         from ..ops.pallas_conv import pick_conv_block_rows
 
         use_pallas = (
             jax.default_backend() == "tpu"
+            and not pallas_conv.FORCE_XLA
             and x.shape[2] >= 768
             and pick_conv_block_rows(x.shape[1], x.shape[2], c,
                                      self.features,

@@ -80,8 +80,16 @@ def _apply_esrgan(cfg: EnhanceConfig, esrgan, params, x):
 
 
 def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
-                    in_hw: tuple[int, int]):
-    """Build the jitted chunk function: [T, H, W, 3] u8 -> [T', H', W', 3] u8."""
+                    in_hw: tuple[int, int], mesh=None):
+    """Build the jitted chunk function: [T, H, W, 3] u8 -> [T', H', W', 3] u8.
+
+    With ``mesh`` (axes containing "dp"), the chunk's frame axis is sharded
+    over the dp devices — ESRGAN is frame-independent and RIFE's pair
+    slices (x[:-1], x[1:]) cost one boundary-frame collective-permute, so
+    GSPMD partitions the whole graph with no other communication. The
+    reference has no multi-GPU analog (SURVEY.md §2.8); this generalizes
+    its prefetch-queue concurrency (merged_pipeline.py:85-104) to devices.
+    """
     esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
     rife = IFNet(scales=cfg.rife_scales)
     h, w = in_hw
@@ -94,6 +102,23 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
 
     @jax.jit
     def fn(frames_u8):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_u8 = jax.lax.with_sharding_constraint(
+                frames_u8, NamedSharding(mesh, P("dp")))
+            # keep the partitionable XLA conv everywhere in this trace:
+            # the Pallas conv kernel is device-local (no GSPMD rule)
+            from ..ops import pallas_conv
+
+            prev_force, pallas_conv.FORCE_XLA = pallas_conv.FORCE_XLA, True
+        try:
+            return _enhance_body(frames_u8)
+        finally:
+            if mesh is not None:
+                pallas_conv.FORCE_XLA = prev_force
+
+    def _enhance_body(frames_u8):
         if cfg.dtype == "bfloat16":
             ep_c = jax.tree.map(lambda p: p.astype(cdt), esrgan_params)
             rp_c = jax.tree.map(lambda p: p.astype(cdt), rife_params)
@@ -156,9 +181,21 @@ def run_merged_pipeline(
     esrgan_params=None,
     rife_params=None,
     progress_cb: Callable | None = None,
+    mesh_axes: dict[str, int] | None = None,
+    cancel_check: Callable | None = None,
 ) -> int:
     """Video -> enhanced video. Overlapping chunks keep RIFE pair context:
-    each chunk shares its first frame with the previous chunk's last."""
+    each chunk shares its first frame with the previous chunk's last.
+
+    ``cancel_check`` is polled between chunks (the reference's
+    cancel-safe flush, merged_pipeline.py:287-387): True stops cleanly
+    with the frames written so far.
+
+    ``mesh_axes={"dp": N}`` shards each chunk's frame axis over N devices
+    (`vd3d tools --mesh dp=N`); output is bit-identical to single-device
+    (frames are computed by the same program, just on different chips).
+    Pick chunk_size + 1 >= dp, ideally a multiple, for even utilization.
+    """
     cfg = cfg or EnhanceConfig()
     missing = (cfg.use_esrgan and esrgan_params is None) or (
         cfg.use_rife and rife_params is None
@@ -174,7 +211,17 @@ def run_merged_pipeline(
         ep, rp = init_enhance_params(cfg)
         esrgan_params = esrgan_params or ep
         rife_params = rife_params or rp
-    fn = make_enhance_fn(cfg, esrgan_params, rife_params, (rd.height, rd.width))
+    mesh = None
+    if mesh_axes and int(mesh_axes.get("dp", 1)) > 1:
+        from ..parallel.mesh import make_mesh
+
+        dp = int(mesh_axes["dp"])
+        if dp > len(jax.devices()):
+            raise ValueError(
+                f"mesh dp={dp} needs {dp} devices, have {len(jax.devices())}")
+        mesh = make_mesh(dp=dp, sp=1, tp=1, devices=jax.devices()[:dp])
+    fn = make_enhance_fn(cfg, esrgan_params, rife_params,
+                         (rd.height, rd.width), mesh=mesh)
 
     out_fps = rd.fps * (cfg.fps_multiplier if cfg.use_rife else 1)
     # Output geometry must match what the jitted fn emits: with
@@ -196,6 +243,8 @@ def run_merged_pipeline(
     try:
         eof = False
         while not eof:
+            if cancel_check and cancel_check():
+                break  # chunk-boundary cancel poll
             batch = [] if carry is None else [carry]
             while len(batch) < cfg.chunk_size + 1:
                 f = rd.read()

@@ -32,6 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Escape hatch for GSPMD-sharded callers: pallas_call has no partitioning
+# rule, so tracing this kernel on an array carrying a mesh sharding
+# constraint would force XLA to all-gather the operand onto every device.
+# Pipelines that shard the conv batch axis (enhance --mesh) flip this ON
+# for the duration of their trace (see make_enhance_fn) so Conv3x3 keeps
+# the partitionable XLA conv.
+FORCE_XLA = False
+
 
 def _conv3_kernel(bh: int, h: int, act: str | None, slope: float,
                   top_ref, mid_ref, bot_ref, w_ref, b_ref, o_ref):

@@ -145,17 +145,24 @@ def render_depth_video_file(
     cfg: DepthConfig | None = None,
     progress_cb: Callable | None = None,
     predictor=None,
+    cancel_check: Callable | None = None,
 ) -> int:
+    """``cancel_check`` is polled between inference batches (the
+    reference's cancel_requested Event, render_depth.py:37-39,1894):
+    True stops cleanly with the frames written so far; a paused control
+    file simply blocks the callback (make_control_check semantics)."""
     cfg = cfg or DepthConfig()
     from ..depth.registry import CATALOG
 
     entry = CATALOG.get(cfg.model)
     if entry is not None and entry.family == "diffusion":
         return _render_depth_diffusion(input_path, output_path, cfg,
-                                       progress_cb, predictor)
+                                       progress_cb, predictor,
+                                       cancel_check=cancel_check)
     if entry is not None and entry.family == "vda":
         return _render_depth_vda(input_path, output_path, cfg,
-                                 progress_cb, predictor)
+                                 progress_cb, predictor,
+                                 cancel_check=cancel_check)
     rd = open_video(input_path)
     if predictor is None and cfg.checkpoint is None:
         import warnings
@@ -251,6 +258,8 @@ def render_depth_video_file(
 
     try:
         while True:
+            if cancel_check and not batch and cancel_check():
+                break  # poll at batch boundaries (reference :1894 analog)
             f = next_frame()
             if f is None:
                 flush()
@@ -281,7 +290,8 @@ def render_depth_video_file(
 
 
 def _render_depth_vda(input_path, output_path, cfg: DepthConfig,
-                      progress_cb=None, predictor=None) -> int:
+                      progress_cb=None, predictor=None,
+                      cancel_check=None) -> int:
     """Video Depth Anything: windowed video inference (the reference's
     rank-5 ONNX route, render_depth.py:892-900) streamed in window-sized
     chunks. Consecutive chunks share ``overlap`` frames; each chunk is
@@ -337,6 +347,8 @@ def _render_depth_vda(input_path, output_path, cfg: DepthConfig,
         gen = frames_cropped()
         eof = False
         while not eof:
+            if cancel_check and cancel_check():
+                break  # window-boundary cancel poll
             chunk = list(carry)
             want = win - len(chunk)
             for f in gen:
@@ -418,7 +430,8 @@ def _bootstrap_letterbox(rd, cfg: DepthConfig):
 
 
 def _render_depth_diffusion(input_path, output_path, cfg: DepthConfig,
-                            progress_cb=None, pipeline=None) -> int:
+                            progress_cb=None, pipeline=None,
+                            cancel_check=None) -> int:
     """Diffusion routes, bounded-memory (the reference reads batches and
     strides windows, render_depth.py:1799-1890; round 1 loaded the whole
     clip into host RAM):
@@ -485,6 +498,8 @@ def _render_depth_diffusion(input_path, output_path, cfg: DepthConfig,
                 batch.append(f)
                 if len(batch) == cfg.batch_size:
                     flush()
+                    if cancel_check and cancel_check():
+                        break  # batch-boundary cancel poll
             flush()
         finally:
             rd.close()
@@ -532,6 +547,8 @@ def _render_depth_diffusion(input_path, output_path, cfg: DepthConfig,
     try:
         with open(raw_path, "wb") as fh:
             while True:
+                if cancel_check and cancel_check():
+                    break  # segment-boundary cancel poll
                 seg = list(pending_src)
                 want = seg_len - len(seg)
                 for f in gen:
@@ -629,7 +646,14 @@ def render_depth_video(args) -> int:
     def progress(n, fps):
         print(f"\r{n} frames | {fps:.2f} fps", end="", flush=True)
 
-    n = render_depth_video_file(args.input, output, cfg, progress)
+    cancel_check = None
+    if getattr(args, "control", None):
+        from ..utils.observability import make_control_check
+
+        cancel_check = make_control_check(args.control)
+
+    n = render_depth_video_file(args.input, output, cfg, progress,
+                                cancel_check=cancel_check)
     from ..config.i18n import t
 
     print("\n" + t("depth.done", frames=n, output=output))
