@@ -61,8 +61,13 @@ def test_parse_mesh_spec():
     assert parse_mesh_spec("dp=4") == {"dp": 4}
     assert parse_mesh_spec("dp=2,sp=2") == {"dp": 2, "sp": 2}
     assert parse_mesh_spec("auto") == {"dp": 8}  # 8 virtual devices
+    assert parse_mesh_spec("dp=2,tp=2") == {"dp": 2, "tp": 2}
+    assert parse_mesh_spec("pp=2") == {"pp": 2}
+    assert parse_mesh_spec("pp=1") is None
     with pytest.raises(ValueError):
-        parse_mesh_spec("pp=2")
+        parse_mesh_spec("pp=3")  # only 2 stage slices exist
+    with pytest.raises(ValueError):
+        parse_mesh_spec("ep=2")
 
 
 def test_count_video_frames(tmp_path):
@@ -176,6 +181,106 @@ def test_depth_mesh_matches_single(tmp_path):
         assert n == 10
         outs[spec] = _read_all(out)
     assert np.array_equal(outs["off"], outs["dp=4"])
+
+
+@pytest.mark.parametrize("spec", ["tp=2", "dp=2,tp=2", "dp=2,sp=2"])
+def test_depth_mesh_tp_sp_matches_single(tmp_path, spec):
+    """VERDICT r3 items 3+8: TP shards the ViT's attention/MLP params
+    (math-identical — one psum per block whose addends are the same
+    partial products), SP shards frame rows; both must reproduce the
+    single-device depth output through the REAL product entry."""
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+    from visiondepth3d_tpu.pipeline.depth_pipeline import (
+        DepthConfig,
+        render_depth_video_file,
+    )
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip, t=8)
+    pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                          inference_size=28)
+    outs = {}
+    for s in ("off", spec):
+        cfg = DepthConfig(inference_size=28, batch_size=4, mesh=s)
+        out = str(tmp_path / f"d_{s.replace('=', '').replace(',', '_')}.y4m")
+        n = render_depth_video_file(clip, out, cfg, predictor=pred)
+        assert n == 8
+        outs[s] = _read_all(out)
+    diff = np.abs(outs["off"].astype(int) - outs[spec].astype(int))
+    # f32 psum/gather reassociation can flip the u8 rounding of a handful
+    # of pixels; anything beyond ±1 ulp-of-u8 would be a semantics bug
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    assert (diff != 0).mean() < 0.01
+
+
+def test_render_mesh_tp_fused_route(tmp_path):
+    """vd3d render --mesh dp=2,tp=2: fused route with Megatron-sharded
+    predictor params, parity vs the same dp mesh without tp."""
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip)
+
+    outs = {}
+    for spec in ("dp=2", "dp=2,tp=2"):
+        pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                              inference_size=28)
+        cfg = RenderConfig(output_format="Half-SBS", output_height=H,
+                           preserve_original_aspect=True, chunk_size=4,
+                           checkpoint_every_chunks=0, mesh=spec)
+        out = str(tmp_path / f"f_{spec.replace('=', '').replace(',', '_')}.y4m")
+        prog = render_stereo_video(clip, None, out,
+                                   StereoParams(blur_ksize=3), cfg,
+                                   predictor=pred)
+        assert prog.frames_done == T
+        outs[spec] = _read_all(out)
+    diff = np.abs(outs["dp=2"].astype(int) - outs["dp=2,tp=2"].astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+@pytest.mark.parametrize("spec", ["pp=2", "dp=2,pp=2"])
+def test_render_pp_matches_single(tmp_path, spec):
+    """vd3d render --mesh pp=2: depth on slice A, stereo on slice B —
+    ONE segment with serial trackers, so unlike dp segmentation the
+    output must match the single-device fused render."""
+    from visiondepth3d_tpu.depth import DepthPredictor, init_random
+    from visiondepth3d_tpu.depth.configs import DA_TINY
+
+    clip = str(tmp_path / "clip.y4m")
+    _write_clip(clip)
+    base = RenderConfig(output_format="Half-SBS", output_height=H,
+                        preserve_original_aspect=True, chunk_size=4,
+                        checkpoint_every_chunks=0)
+    # dp=2,pp=2 row-shards slice B -> the XLA warp; mirror in the single
+    # reference render (same rule as the sp test above)
+    params = StereoParams(blur_ksize=3)
+    if spec != "pp=2":
+        params = params.replace(warp_backend="xla")
+    outs = {}
+    for s in ("off", spec):
+        pred = DepthPredictor(DA_TINY, init_random(DA_TINY, size=28),
+                              inference_size=28)
+        cfg = dataclasses.replace(base, mesh=s)
+        out = str(tmp_path / f"pp_{s.replace('=', '').replace(',', '_')}.y4m")
+        prog = render_stereo_video(clip, None, out, params, cfg,
+                                   predictor=pred)
+        assert prog.frames_done == T
+        outs[s] = _read_all(out)
+    diff = np.abs(outs["off"].astype(int) - outs[spec].astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_render_pp_needs_fused_route(tmp_path):
+    clip = str(tmp_path / "c.y4m")
+    depth = str(tmp_path / "d.y4m")
+    _write_clip(clip, t=6)
+    _write_depth(depth, t=6)
+    cfg = RenderConfig(mesh="pp=2")
+    with pytest.raises(ValueError, match="fused route"):
+        render_stereo_video(clip, depth, str(tmp_path / "o.y4m"),
+                            StereoParams(), cfg)
 
 
 def test_depthcrafter_mesh_route(tmp_path):

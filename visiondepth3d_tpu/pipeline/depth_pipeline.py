@@ -74,21 +74,31 @@ class DepthConfig:
 
 
 def _resolve_mesh(cfg: DepthConfig):
-    """-> (mesh, dp) or (None, 1)."""
+    """-> (mesh, dp) or (None, 1).
+
+    The depth route accepts dp (batch frames), sp (frame rows — SURVEY
+    §2.8 "spatial SP within a frame": GSPMD shards the resize + model
+    graph over rows, inserting the all-gathers global attention needs)
+    and tp (Megatron param sharding of the ViT, parallel/tp.py —
+    math-identical to single-device, unlike DP segmentation). pp is a
+    render-stage axis."""
     from .mesh_render import parse_mesh_spec
 
     axes = parse_mesh_spec(cfg.mesh)
     if not axes:
         return None, 1
+    if axes.get("pp", 1) != 1:
+        raise ValueError("vd3d depth does not pipeline stages; pp is a "
+                         "vd3d render axis (--mesh pp=2)")
     dp = int(axes.get("dp", 1))
-    if axes.get("sp", 1) != 1:
-        raise ValueError("vd3d depth supports dp-only meshes (sp is a "
-                         "render-stage axis)")
-    if dp <= 1:
+    sp = int(axes.get("sp", 1))
+    tp = int(axes.get("tp", 1))
+    if dp * sp * tp <= 1:
         return None, 1
     from ..parallel.mesh import make_mesh
 
-    return make_mesh(dp=dp, sp=1, tp=1, devices=jax.devices()[:dp]), dp
+    n = dp * sp * tp
+    return make_mesh(dp=dp, sp=sp, tp=tp, devices=jax.devices()[:n]), dp
 
 
 def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int],
@@ -98,7 +108,10 @@ def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int],
     With ``mesh``, the batch axis carries a P('dp') sharding constraint:
     XLA splits the whole graph (resize -> model -> percentile normalize)
     across devices with zero collectives — per-frame normalization keeps
-    every frame device-local."""
+    every frame device-local. An ``sp`` axis additionally shards frame
+    ROWS (GSPMD inserts the gathers the global ops need); a ``tp`` axis
+    shards the model's attention/MLP params Megatron-style — the caller
+    places ``params`` with parallel.tp.shard_params."""
     if cfg.tiled:
         from ..ops.tiling import tiled_apply_batch
 
@@ -111,7 +124,8 @@ def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int],
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        batch_sh = NamedSharding(mesh, P("dp"))
+        rows = "sp" if mesh.shape.get("sp", 1) > 1 else None
+        batch_sh = NamedSharding(mesh, P("dp", rows))
 
     @jax.jit
     def fn(params, frames_u8):
@@ -182,6 +196,15 @@ def render_depth_video_file(
         # round the batch up so every device gets equal frames
         cfg = dataclasses.replace(
             cfg, batch_size=((cfg.batch_size + dp - 1) // dp) * dp)
+    run_params = pred.params
+    if mesh is not None:
+        # TP: Megatron column/row placement of the attention/MLP kernels
+        # (one psum per block, inserted by GSPMD); with tp=1 this
+        # replicates the params across the mesh — either way the params
+        # land on the mesh devices instead of defaulting to device 0.
+        from ..parallel.tp import shard_params
+
+        run_params = shard_params(run_params, mesh)
 
     # Letterbox: bootstrap on buffered probe frames (render_depth.py:1730),
     # then the hysteresis tracker runs LIVE on every frame (:1811) — a
@@ -246,7 +269,7 @@ def render_depth_video_file(
         n = len(batch)
         padded = batch + [batch[-1]] * (cfg.batch_size - n)
         out_np = np.asarray(
-            get_fn(padded[0].shape[0])(pred.params,
+            get_fn(padded[0].shape[0])(run_params,
                                        jnp.asarray(np.stack(padded)))
         )
         for i in range(n):

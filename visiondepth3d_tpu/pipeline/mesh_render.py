@@ -44,7 +44,12 @@ from .stereo_pipeline import RenderConfig, RenderProgress, make_chunk_body
 
 def parse_mesh_spec(spec: str | None) -> dict[str, int] | None:
     """'dp=4,sp=2' -> {'dp': 4, 'sp': 2}; 'auto' -> all devices on dp;
-    None/'' / 'off' -> None (single-device path)."""
+    None/'' / 'off' -> None (single-device path).
+
+    Axes (SURVEY §2.8): dp = frame/segment data parallel; sp = spatial
+    (frame-row) parallel; tp = tensor parallel over the depth model's
+    attention heads / MLP columns (parallel/tp.py); pp = stage pipeline
+    parallel (depth slice / stereo slice, parallel/pp.py)."""
     if spec is None:
         return None
     s = str(spec).strip().lower()
@@ -56,15 +61,23 @@ def parse_mesh_spec(spec: str | None) -> dict[str, int] | None:
     out: dict[str, int] = {}
     for part in s.split(","):
         if "=" not in part:
-            raise ValueError(f"bad mesh spec {spec!r} (want dp=N[,sp=M])")
+            raise ValueError(
+                f"bad mesh spec {spec!r} (want dp=N[,sp=M][,tp=K][,pp=2])")
         k, v = part.split("=", 1)
         k = k.strip()
-        if k not in ("dp", "sp"):
-            raise ValueError(f"unknown mesh axis {k!r} (dp/sp supported)")
+        if k not in ("dp", "sp", "tp", "pp"):
+            raise ValueError(
+                f"unknown mesh axis {k!r} (dp/sp/tp/pp supported)")
         out[k] = int(v)
-    if out.get("dp", 1) < 1 or out.get("sp", 1) < 1:
+    if any(out.get(a, 1) < 1 for a in ("dp", "sp", "tp", "pp")):
         raise ValueError(f"bad mesh spec {spec!r}")
-    if out.get("dp", 1) * out.get("sp", 1) <= 1:
+    if out.get("pp", 1) not in (1, 2):
+        raise ValueError(f"pp={out['pp']}: only pp=2 (depth/stereo "
+                         "slices) is supported")
+    total = 1
+    for a in ("dp", "sp", "tp", "pp"):
+        total *= out.get(a, 1)
+    if total <= 1:
         return None
     return out
 
@@ -192,14 +205,30 @@ def render_stereo_video_mesh(
     np.dtype(params.image_dtype)  # validate before opening outputs
 
     axes = dict(mesh_axes or {})
+    if axes.get("pp", 1) != 1:
+        raise ValueError("pp meshes route through pp_render."
+                         "render_stereo_video_pp (render_stereo_video "
+                         "dispatches there)")
     dp = int(axes.get("dp", 1))
     sp = int(axes.get("sp", 1))
+    tp = int(axes.get("tp", 1))
+    if tp > 1 and predictor is None:
+        raise ValueError("--mesh tp=K shards the depth model and needs the "
+                         "fused route (no --depth input)")
     devices = devices if devices is not None else jax.devices()
-    if dp * sp > len(devices):
+    if dp * sp * tp > len(devices):
         raise ValueError(
-            f"mesh dp={dp},sp={sp} needs {dp * sp} devices, "
+            f"mesh dp={dp},sp={sp},tp={tp} needs {dp * sp * tp} devices, "
             f"have {len(devices)}")
-    mesh = make_mesh(dp=dp, sp=sp, tp=1, devices=devices[: dp * sp])
+    mesh = make_mesh(dp=dp, sp=sp, tp=tp, devices=devices[: dp * sp * tp])
+    if predictor is not None and tp > 1:
+        # Megatron placement of the ViT params (parallel/tp.py); the
+        # chunk body closes over predictor.params, and jit honors the
+        # committed shardings of captured arrays — GSPMD inserts one
+        # psum per attention/MLP block over the tp axis.
+        from ..parallel.tp import shard_params
+
+        predictor.params = shard_params(predictor.params, mesh)
 
     total = count_video_frames(input_path)
     if depth_path is not None:

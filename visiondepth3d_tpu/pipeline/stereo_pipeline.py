@@ -94,22 +94,14 @@ def _detect_black_bars_host(frame_u8: np.ndarray, threshold: float = 10.0):
     return top, bottom
 
 
-def make_chunk_body(
+def _chunk_pieces(
     params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
-    predictor=None, yuv_in: bool = False,
-) -> Callable:
-    """Build the UNJITTED chunk body: u8 in -> packed u8 out.
-
-    With ``predictor`` (a DepthPredictor), depth is inferred INSIDE the
-    same graph — the fused single-pass 2D->3D route (what bench.py and
-    __graft_entry__.entry measure). The reference has no analog: it
-    always round-trips a quantized depth video between its two tabs;
-    here the depth map flows to the warp at full float precision without
-    ever touching the host. Without ``predictor``, depth arrives as the
-    u16-quantized stream of a previous `vd3d depth` pass.
-
-    Callers jit it directly (make_chunk_fn) or vmap it over video
-    segments first (pipeline.mesh_render, frame-DP over a device mesh)."""
+    yuv_in: bool = False,
+):
+    """Shared sub-graphs of the chunk body: ``decode_crop`` (u8/planes in
+    -> cropped float frames) and ``finish`` (stereo step + pack + u8 out).
+    make_chunk_body composes them into one graph; make_pp_bodies cuts at
+    the depth/stereo boundary for stage-PP (parallel/pp.py)."""
     params = params.replace(warp_hw=(geom.warp_h, geom.warp_w))
     try:
         params = params.with_shift_bound(geom.warp_w)
@@ -133,6 +125,12 @@ def make_chunk_body(
             return yuv420_to_rgb_u8(yb, ub, vb)
         return frames_in
 
+    def decode(frames_in):
+        return u8_to_float(decode_in(frames_in))
+
+    def decode_crop(frames_in):
+        return crop(decode(frames_in))
+
     def finish(trackers, frames, depths, blanks):
         trackers, outs = render_chunk(params, trackers, frames, depths, blanks)
 
@@ -153,10 +151,32 @@ def make_chunk_body(
         to_u8 = float_to_u8_trunc if params.parity_quantize else float_to_u8_round
         return trackers, to_u8(packed)
 
+    return decode, crop, decode_crop, finish
+
+
+def make_chunk_body(
+    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
+    predictor=None, yuv_in: bool = False,
+) -> Callable:
+    """Build the UNJITTED chunk body: u8 in -> packed u8 out.
+
+    With ``predictor`` (a DepthPredictor), depth is inferred INSIDE the
+    same graph — the fused single-pass 2D->3D route (what bench.py and
+    __graft_entry__.entry measure). The reference has no analog: it
+    always round-trips a quantized depth video between its two tabs;
+    here the depth map flows to the warp at full float precision without
+    ever touching the host. Without ``predictor``, depth arrives as the
+    u16-quantized stream of a previous `vd3d depth` pass.
+
+    Callers jit it directly (make_chunk_fn) or vmap it over video
+    segments first (pipeline.mesh_render, frame-DP over a device mesh)."""
+    decode, crop, decode_crop, finish = _chunk_pieces(params, geom, cfg,
+                                                      yuv_in=yuv_in)
+
     if predictor is not None:
 
         def chunk_fused(trackers, frames_u8, blanks):
-            frames = crop(u8_to_float(decode_in(frames_u8)))  # [T,ch,cw,3]
+            frames = decode_crop(frames_u8)  # [T, ch, cw, 3]
             # inline inference on the cropped source; the predictor emits
             # per-batch-normalized [0,1] depth directly at eye resolution
             depths = predictor.predict_01(frames,
@@ -167,7 +187,7 @@ def make_chunk_body(
         return chunk_fused
 
     def chunk_fn(trackers, frames_u8, depths_u16, blanks):
-        frames = u8_to_float(decode_in(frames_u8))  # [T, H, W, 3]
+        frames = decode(frames_u8)  # [T, H, W, 3]
         # depth ships as lossless uint16 (8-bit k/255 == k*257/65535 exactly)
         depths = depths_u16.astype(jnp.float32) / 65535.0  # [T, Hd, Wd]
         if depths.shape[1:] != frames.shape[1:3]:
@@ -179,6 +199,37 @@ def make_chunk_body(
         return finish(trackers, frames, depths, blanks)
 
     return chunk_fn
+
+
+def make_pp_bodies(
+    params: StereoParams, geom: RenderGeometry, cfg: RenderConfig,
+    predictor, yuv_in: bool = False,
+) -> tuple[Callable, Callable]:
+    """The fused chunk body cut at the depth/stereo boundary for
+    stage-PP (SURVEY §2.8 "PP across pipeline stages"):
+
+      depth_body(frames_in) -> depths01 [T, eye_h, eye_w]   (slice A)
+      stereo_body(trackers, frames_in, depths01, blanks)
+          -> (trackers, packed_u8)                          (slice B)
+
+    Both stages re-run the cheap u8 decode + crop locally, so only the
+    [T, eye_h, eye_w] float depth crosses between slices (ICI on a pod).
+    Composing stereo_body(depth_body) is graph-identical to
+    make_chunk_body's fused route."""
+    decode, crop, decode_crop, finish = _chunk_pieces(params, geom, cfg,
+                                                      yuv_in=yuv_in)
+    del decode, crop  # pp stages only need the composed decode_crop
+
+    def depth_body(frames_in):
+        frames = decode_crop(frames_in)
+        return predictor.predict_01(frames, out_hw=(geom.eye_h, geom.eye_w))
+
+    def stereo_body(trackers, frames_in, depths01, blanks):
+        frames = resize_bilinear(decode_crop(frames_in),
+                                 (geom.eye_h, geom.eye_w))
+        return finish(trackers, frames, depths01, blanks)
+
+    return depth_body, stereo_body
 
 
 def make_chunk_fn(
@@ -231,6 +282,12 @@ def render_stereo_video(
         from .mesh_render import parse_mesh_spec
 
         axes = parse_mesh_spec(cfg_probe.mesh)
+        if axes is not None and axes.get("pp", 1) == 2:
+            from .pp_render import render_stereo_video_pp
+
+            return render_stereo_video_pp(
+                input_path, output_path, params, cfg_probe,
+                progress_cb, cancel_check, predictor, mesh_axes=axes)
         if axes is not None:
             from .mesh_render import render_stereo_video_mesh
 
