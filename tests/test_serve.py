@@ -143,7 +143,9 @@ def test_http_render_job_end_to_end(tmp_path):
         assert meta["render"]["presets"]
 
         st, page = 0, urllib.request.urlopen(f"{base}/", timeout=10).read()
-        assert b"tabs" in page and b"Start render" in page
+        # chrome strings come from the i18n catalog via /api/meta now
+        assert b"tabs" in page and b"ui.btn.render" in page
+        assert meta["i18n"]["ui.btn.render"] == "Start render"
 
         st, job = _req(f"{base}/api/jobs", {
             "kind": "render",
@@ -174,6 +176,9 @@ def test_http_render_job_end_to_end(tmp_path):
 
 
 def test_http_validation_and_control(tmp_path):
+    from visiondepth3d_tpu.config.i18n import set_language
+
+    set_language("en")  # default meta language is the process language
     httpd, mgr, port = run_in_thread()
     base = f"http://127.0.0.1:{port}"
     try:
@@ -186,6 +191,16 @@ def test_http_validation_and_control(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _req(f"{base}/api/jobs/999/control", {"action": "cancel"})
         assert ei.value.code == 404
+        # per-session language switch on the meta endpoint
+        en = json.loads(urllib.request.urlopen(
+            f"{base}/api/meta", timeout=10).read())
+        fr = json.loads(urllib.request.urlopen(
+            f"{base}/api/meta?lang=fr", timeout=10).read())
+        assert en["lang"] == "en" and fr["lang"] == "fr"
+        assert en["i18n"]["ui.tab.render"] != fr["i18n"]["ui.tab.render"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/api/meta?lang=zz", timeout=10)
+        assert ei.value.code == 400
     finally:
         mgr.shutdown()
         httpd.shutdown()

@@ -333,12 +333,18 @@ def cmd_scenes(args) -> int:
     if not args.split:
         return 0
 
+    from ..io import ffmpeg as ff
+
     out_dir = args.output or os.path.splitext(args.input)[0] + "_scenes"
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.input))[0]
     starts = list(cuts) or [0]
     if starts[0] != 0:  # enforce the lead-with-0 invariant here rather
         starts.insert(0, 0)  # than relying on detect_scenes' contract
+    # x264 .mp4 per scene like the reference (VisionDepth3D.py:1187-1247)
+    # when an encoder exists; uncompressed .y4m otherwise
+    codec = getattr(args, "codec", "libx264")
+    ext = ".y4m" if (codec == "y4m" or not ff.have_ffmpeg()) else ".mp4"
     n = 0
     with open_video(args.input) as rd:
         wr, idx = None, 0
@@ -349,8 +355,9 @@ def cmd_scenes(args) -> int:
             if n < len(starts) and idx == starts[n]:
                 if wr is not None:
                     wr.close()
-                path = os.path.join(out_dir, f"{base}-Scene-{n + 1:03d}.y4m")
-                wr = open_writer(path, rd.width, rd.height, fps)
+                path = os.path.join(out_dir, f"{base}-Scene-{n + 1:03d}{ext}")
+                wr = open_writer(path, rd.width, rd.height, fps,
+                                 codec=codec, crf=getattr(args, "crf", 23))
                 n += 1
             wr.write(frame)
             idx += 1
@@ -360,10 +367,46 @@ def cmd_scenes(args) -> int:
     return 0
 
 
+def _convert_depth_stream(src: str, dst: str) -> int:
+    """`.vd16` <-> FFV1 gray16le conversion (the FFV1 side matches the
+    reference's interoperable 16-bit export, render_depth.py:1704-1714)."""
+    from ..io.depth_io import (Depth16Reader, Ffv1Gray16Reader,
+                               _is_gray16_video, open_depth16_writer)
+
+    if str(src).endswith(".vd16"):
+        rd = Depth16Reader(src)
+    elif _is_gray16_video(src):
+        rd = Ffv1Gray16Reader(src)
+    else:
+        print(f"{src}: not a 16-bit depth stream (.vd16 or gray16le video)")
+        return 2
+    n = 0
+    try:
+        with open_depth16_writer(dst, rd.width, rd.height, rd.fps) as wr:
+            for frame in rd:
+                wr.write(frame)
+                n += 1
+    finally:
+        rd.close()
+    print(t("convert.depth_done", count=n, output=dst))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """One-time checkpoint conversion (the reference converts implicitly
     at model-load, render_depth.py:728-829; here the converted tree is
-    persisted as a [Local] folder so later loads skip the torch pass)."""
+    persisted as a [Local] folder so later loads skip the torch pass).
+    With --depth-in/--depth-out, converts a 16-bit depth stream between
+    the raw .vd16 format and interoperable FFV1 gray16le video instead."""
+    if getattr(args, "depth_in", None) or getattr(args, "depth_out", None):
+        if not (args.depth_in and args.depth_out):
+            print("--depth-in and --depth-out must be given together")
+            return 2
+        return _convert_depth_stream(args.depth_in, args.depth_out)
+    if not (args.model and args.checkpoint and args.output):
+        print("checkpoint conversion needs --model, --checkpoint and "
+              "--output (or use --depth-in/--depth-out for depth streams)")
+        return 2
     from ..depth.registry import load_predictor, save_local_params
 
     pred = load_predictor(args.model, args.checkpoint,
@@ -477,21 +520,9 @@ def cmd_preview(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    import os
-
-    # language must be live BEFORE parsers are built so --help translates;
-    # --lang is pre-scanned from raw argv (it precedes the subcommand)
-    raw = sys.argv[1:] if argv is None else list(argv)
-    lang = os.environ.get("VD3D_LANG")
-    for i, a in enumerate(raw):
-        if a == "--lang" and i + 1 < len(raw):
-            lang = raw[i + 1]
-        elif a.startswith("--lang="):
-            lang = a.split("=", 1)[1]
-    if lang:
-        set_language(lang)
-
+def build_parser() -> _I18nParser:
+    """The full vd3d argument parser (separate from main so tests can walk
+    every subcommand's help strings for i18n coverage)."""
     ap = _I18nParser(prog="vd3d",
                      description=th("TPU-native 2D->3D video suite"))
     ap.add_argument("--lang", default=None, metavar="LANG",
@@ -562,17 +593,25 @@ def main(argv=None) -> int:
                     help="output frame rate on assemble")
 
     cv = sub.add_parser("convert", help="convert an upstream checkpoint "
-                                        "once into a [Local] model folder")
-    cv.add_argument("--model", required=True,
+                                        "once into a [Local] model folder, "
+                                        "or a 16-bit depth stream between "
+                                        ".vd16 and FFV1 gray16le")
+    cv.add_argument("--model", default=None,
                     help="catalog entry naming the architecture "
                          "(see vd3d models)")
-    cv.add_argument("--checkpoint", required=True,
+    cv.add_argument("--checkpoint", default=None,
                     help="upstream weights (.safetensors / RIFE .onnx / "
                          "diffusers dir, whatever the family's loader "
                          "accepts)")
-    cv.add_argument("--output", required=True,
+    cv.add_argument("--output", default=None,
                     help="folder to write model.safetensors + vd3d.json")
     cv.add_argument("--inference-size", type=int, default=518)
+    cv.add_argument("--depth-in", default=None, metavar="STREAM",
+                    help="16-bit depth stream to convert (.vd16 or "
+                         "gray16le video)")
+    cv.add_argument("--depth-out", default=None, metavar="STREAM",
+                    help="converted stream (.vd16, or .mkv for FFV1 "
+                         "gray16le — needs ffmpeg)")
 
     bp = sub.add_parser("bench", help="run the standard benchmark configs "
                                       "on the local accelerator")
@@ -634,8 +673,14 @@ def main(argv=None) -> int:
     sc.add_argument("--input", required=True)
     sc.add_argument("--threshold", type=float, default=27.0)
     sc.add_argument("--split", action="store_true",
-                    help="export one clip per scene (uncompressed .y4m — "
-                         "large on disk; re-encode with ffmpeg if needed)")
+                    help="export one clip per scene (x264 .mp4 when ffmpeg "
+                         "is present, matching the reference's FrameTools "
+                         "split; uncompressed .y4m otherwise)")
+    sc.add_argument("--codec", default="libx264",
+                    help="scene-clip codec for --split (ffmpeg encoders, "
+                         "e.g. libx264/libx265; 'y4m' forces uncompressed)")
+    sc.add_argument("--crf", type=int, default=23,
+                    help="quality for --split encoded clips")
     sc.add_argument("--output", default=None, help="scene-clip directory")
 
     pv = sub.add_parser("preview", help="single-frame diagnostic render")
@@ -661,12 +706,26 @@ def main(argv=None) -> int:
                     help="bind address (0.0.0.0 exposes the app to the "
                          "network — it has no authentication)")
 
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv=None) -> int:
     import os
 
-    lang = args.lang or os.environ.get("VD3D_LANG")
+    # language must be live BEFORE parsers are built so --help translates;
+    # --lang is pre-scanned from raw argv (it precedes the subcommand)
+    raw = sys.argv[1:] if argv is None else list(argv)
+    lang = os.environ.get("VD3D_LANG")
+    for i, a in enumerate(raw):
+        if a == "--lang" and i + 1 < len(raw):
+            lang = raw[i + 1]
+        elif a.startswith("--lang="):
+            lang = a.split("=", 1)[1]
     if lang:
         set_language(lang)
+
+    ap = build_parser()
+    args = ap.parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "models":

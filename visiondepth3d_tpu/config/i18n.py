@@ -37,6 +37,25 @@ def t(key: str, **fmt) -> str:
     return msg.format(**fmt) if fmt else msg
 
 
+def catalog(lang: str | None = None,
+            prefixes: tuple[str, ...] = ()) -> dict:
+    """Merged en-fallback catalog for ``lang`` without touching the global
+    language (the serve UI requests per-session languages,
+    VisionDepth3D.py:88-110 analog). ``prefixes`` filters key namespaces."""
+    base = json.loads((_LANG_DIR / "en.json").read_text())
+    if lang and lang != "en":
+        p = _LANG_DIR / f"{lang}.json"
+        if p.exists():
+            base.update(json.loads(p.read_text()))
+    if prefixes:
+        base = {k: v for k, v in base.items() if k.startswith(prefixes)}
+    return base
+
+
+def current_language() -> str:
+    return _lang
+
+
 def th(text: str) -> str:
     """Translate a CLI help string. Keyed by the English text itself
     (``help.<english>`` in the non-en packs): the inline string in the

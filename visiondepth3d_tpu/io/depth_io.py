@@ -7,7 +7,10 @@ render_depth.py:1750) plus optional 16-bit FFV1 gray16le for Marigold
 
 - 8-bit: ordinary video via io.video (y4m/ffmpeg), all three channels equal.
 - 16-bit: a streamable ``.vd16`` raw format (magic + dims + fps, then
-  little-endian uint16 frames) — no external codec needed, plus .npz export.
+  little-endian uint16 frames) — no external codec needed, plus .npz export,
+  plus interoperable FFV1 ``gray16le`` video (render_depth.py:1704-1714)
+  when ffmpeg is present: any non-``.vd16`` 16-bit output path dispatches
+  to the FFV1 writer, so the result plays in standard tooling.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import struct
 
 import numpy as np
 
+from . import ffmpeg as ff
 from .video import open_video
 
 _MAGIC = b"VD3D16\x00\x01"
@@ -85,8 +89,97 @@ class Depth16Reader:
         self.close()
 
 
+class Ffv1Gray16Writer:
+    """Stream uint16 depth frames into an FFV1 ``gray16le`` video, the
+    reference's interoperable 16-bit export (render_depth.py:1704-1714) —
+    lossless and playable by standard tooling, unlike ``.vd16``."""
+
+    def __init__(self, path, width: int, height: int, fps: float):
+        if not ff.have_ffmpeg():
+            raise RuntimeError(
+                "16-bit video export needs ffmpeg; use a .vd16 output path "
+                "for the raw-stream fallback")
+        self._proc = ff.popen_writer(
+            ff.rawvideo_gray16_encode_cmd(path, width, height, fps))
+        self.width, self.height = width, height
+
+    def write(self, depth_u16: np.ndarray):
+        d = np.ascontiguousarray(depth_u16, dtype="<u2")
+        assert d.shape == (self.height, self.width)
+        self._proc.stdin.write(d.tobytes())
+
+    def close(self):
+        self._proc.stdin.close()
+        self._proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Ffv1Gray16Reader:
+    """Decode a gray16le-pixel video (FFV1 .mkv) back to uint16 frames."""
+
+    def __init__(self, path):
+        if not ff.have_ffmpeg():
+            raise RuntimeError("reading 16-bit video needs ffmpeg")
+        info = ff.probe(path)
+        vs = next(s for s in info["streams"] if s["codec_type"] == "video")
+        self.width, self.height = int(vs["width"]), int(vs["height"])
+        num, den = (vs.get("avg_frame_rate") or "30/1").split("/")
+        self.fps = float(num) / float(den or 1)
+        self._proc = ff.popen_reader(ff.rawvideo_gray16_decode_cmd(path))
+        self._frame_bytes = self.width * self.height * 2
+
+    def read(self) -> np.ndarray | None:
+        buf = self._proc.stdout.read(self._frame_bytes)
+        if len(buf) < self._frame_bytes:
+            return None
+        return np.frombuffer(buf, dtype="<u2").reshape(self.height, self.width)
+
+    def __iter__(self):
+        while True:
+            d = self.read()
+            if d is None:
+                return
+            yield d
+
+    def close(self):
+        self._proc.stdout.close()
+        self._proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_depth16_writer(path, width: int, height: int, fps: float):
+    """16-bit depth writer dispatched on extension: ``.vd16`` raw stream,
+    anything else FFV1 gray16le via ffmpeg (render_depth.py:1704-1714)."""
+    if str(path).endswith(".vd16"):
+        return Depth16Writer(path, width, height, fps)
+    return Ffv1Gray16Writer(path, width, height, fps)
+
+
+def _is_gray16_video(path: str) -> bool:
+    if not ff.have_ffprobe():
+        return False
+    try:
+        info = ff.probe(path)
+    except Exception:
+        return False
+    return any(s.get("codec_type") == "video"
+               and "gray16" in (s.get("pix_fmt") or "")
+               for s in info.get("streams", []))
+
+
 def open_depth_reader(path):
-    """Open a depth stream: .vd16 raw 16-bit, else a video decoded to 8-bit.
+    """Open a depth stream: .vd16 raw 16-bit, gray16le video (FFV1 export)
+    at full precision, else a video decoded to 8-bit.
 
     Returns an iterator of float32 [H, W] depth in [0, 1] plus metadata via
     attributes width/height/fps.
@@ -94,6 +187,8 @@ def open_depth_reader(path):
     p = str(path)
     if p.endswith(".vd16"):
         return _Scaled16(Depth16Reader(p))
+    if not p.endswith(".y4m") and _is_gray16_video(p):
+        return _Scaled16(Ffv1Gray16Reader(p))
     return _ScaledVideo(open_video(p))
 
 
@@ -103,10 +198,12 @@ class _Scaled16:
         self.width, self.height, self.fps = rd.width, rd.height, rd.fps
 
     def seek(self, frame_idx: int) -> bool:
-        return self._rd.seek(frame_idx)
+        inner = getattr(self._rd, "seek", None)
+        return bool(inner and inner(frame_idx))
 
     def count(self):
-        return self._rd.count()
+        inner = getattr(self._rd, "count", None)
+        return inner() if inner else None
 
     def read(self):
         d = self._rd.read()

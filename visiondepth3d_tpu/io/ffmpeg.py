@@ -106,6 +106,22 @@ def validate_codec(codec: str | None) -> str:
     return codec
 
 
+def rawvideo_gray16_encode_cmd(out_path: str, width: int, height: int,
+                               fps: float) -> list[str]:
+    """uint16-frames-on-stdin -> lossless FFV1 gray16le video, the
+    reference's interoperable 16-bit depth export (render_depth.py:1704-1714)."""
+    return [FFMPEG, "-y", "-v", "error", "-f", "rawvideo",
+            "-pix_fmt", "gray16le", "-s", f"{width}x{height}",
+            "-r", f"{fps:.6f}", "-i", "-",
+            "-an", "-c:v", "ffv1", "-pix_fmt", "gray16le", str(out_path)]
+
+
+def rawvideo_gray16_decode_cmd(path: str) -> list[str]:
+    """Decode any gray16-pixel video to raw gray16le frames on stdout."""
+    return [FFMPEG, "-v", "error", "-nostdin", "-i", str(path),
+            "-f", "rawvideo", "-pix_fmt", "gray16le", "-"]
+
+
 def rip_audio_cmd(src: str, dst: str, codec: str = "copy",
                   bitrate: str | None = None) -> list[str]:
     """Extract the audio track (audio.py:96-134 analog)."""

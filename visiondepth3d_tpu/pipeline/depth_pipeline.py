@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..depth.registry import load_predictor
-from ..io.depth_io import Depth16Writer
+from ..io.depth_io import open_depth16_writer
 from ..io.video import open_video, open_writer
 from ..ops.resize import resize_bilinear
 
@@ -240,7 +240,8 @@ def render_depth_video_file(
     from ..io.letterbox import reinsert_bars
 
     if cfg.bits == 16:
-        wr = Depth16Writer(output_path, rd.width, rd.height, rd.fps)
+        wr = open_depth16_writer(output_path, rd.width, rd.height,
+                                 rd.fps)
 
         def write(d, t, b):
             wr.write(reinsert_bars(np.asarray(d), t, b, fill=32768))
@@ -413,7 +414,7 @@ def _open_depth_writer(output_path, w, h, fps, cfg: DepthConfig,
 
     top, bot = bars
     if cfg.bits == 16:
-        wr = Depth16Writer(output_path, w, h + top + bot, fps)
+        wr = open_depth16_writer(output_path, w, h + top + bot, fps)
 
         def write(d01):
             d = np.clip(d01 * 65535.0 + 0.5, 0, 65535).astype(np.uint16)

@@ -22,6 +22,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from ..config.i18n import available_languages, catalog, current_language, t
 from .jobs import Job, JobManager
 
 # ---------------------------------------------------------------------------
@@ -124,9 +125,7 @@ def _run_render(job: Job) -> str:
         from ..depth.registry import load_predictor
 
         if not p.get("checkpoint") and not p.get("allow_random"):
-            raise ValueError(
-                "fused route needs a checkpoint (or allow_random for "
-                "shape/compile testing)")
+            raise ValueError(t("error.fused_needs_checkpoint"))
         kw = {}
         if p.get("inference_size"):
             kw["inference_size"] = int(p["inference_size"])
@@ -134,8 +133,8 @@ def _run_render(job: Job) -> str:
             p.get("model", "depth-anything-v2-small"),
             p.get("checkpoint") or None, **kw)
         if not hasattr(predictor, "predict_01"):
-            raise ValueError(f"{p.get('model')}: fused route needs a "
-                             "feed-forward depth family")
+            raise ValueError(t("error.fused_needs_feedforward",
+                               model=p.get("model")))
 
     def progress(pr: RenderProgress):
         job.progress.update(
@@ -232,6 +231,8 @@ def _run_scenes(job: Job) -> str:
     if not (p.get("split") in (True, "true", "1", "on", "yes")):
         job.progress["cuts"] = cuts[:500]
         return ""
+    from ..io import ffmpeg as ff
+
     out_dir = p.get("output") or os.path.splitext(inp)[0] + "_scenes"
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(inp))[0]
@@ -239,6 +240,8 @@ def _run_scenes(job: Job) -> str:
     if starts[0] != 0:
         starts.insert(0, 0)
     check = job.cancel_check()
+    codec = p.get("codec") or "libx264"
+    ext = ".y4m" if (codec == "y4m" or not ff.have_ffmpeg()) else ".mp4"
     n = 0
     with open_video(inp) as rd:
         wr, idx = None, 0
@@ -252,13 +255,14 @@ def _run_scenes(job: Job) -> str:
                 if check():
                     return out_dir
                 path = os.path.join(out_dir,
-                                    f"{base}-Scene-{n + 1:03d}.y4m")
-                wr = open_writer(path, rd.width, rd.height, fps)
+                                    f"{base}-Scene-{n + 1:03d}{ext}")
+                wr = open_writer(path, rd.width, rd.height, fps,
+                                 codec=codec)
                 n += 1
             if wr is None:  # defensive: never drop frames
                 wr = open_writer(
-                    os.path.join(out_dir, f"{base}-Scene-{n:03d}.y4m"),
-                    rd.width, rd.height, fps)
+                    os.path.join(out_dir, f"{base}-Scene-{n:03d}{ext}"),
+                    rd.width, rd.height, fps, codec=codec)
             wr.write(frame)
             idx += 1
         if wr is not None:
@@ -276,9 +280,12 @@ RUNNERS = {
 }
 
 
-def build_meta() -> dict:
+def build_meta(lang: str | None = None) -> dict:
     """Everything the page needs to render its forms: per-tab field specs
-    + the model catalog + preset names + output format list."""
+    + the model catalog + preset names + output format list + the message
+    catalog for ``lang`` (the Tk GUI's refresh_ui_labels analog,
+    VisionDepth3D.py:2762-2902 — every label/tooltip/status resolves
+    through the same packs the CLI uses)."""
     from ..config.presets import BUILTIN_PRESETS
     from ..depth.registry import CATALOG
     from ..enhance import EnhanceConfig
@@ -307,7 +314,12 @@ def build_meta() -> dict:
         "scenes": {"config": [
             {"name": "threshold", "kind": "float", "default": 27.0},
             {"name": "split", "kind": "bool", "default": False},
+            {"name": "codec", "kind": "str", "default": "libx264"},
         ]},
+        "i18n": catalog(lang or current_language(),
+                        prefixes=("ui.", "field.", "tooltip.")),
+        "lang": lang or current_language(),
+        "languages": available_languages(),
     }
 
 
@@ -349,6 +361,10 @@ td, th { border-bottom: 1px solid #333; padding: 5px 8px; text-align:
 const TABS = ["render", "depth", "tools", "audio", "scenes", "jobs"];
 let META = null;
 
+function T(key) {  // catalog lookup, key itself as last-resort fallback
+  return (META && META.i18n && META.i18n[key]) || key;
+}
+
 function el(tag, attrs, ...kids) {
   const e = document.createElement(tag);
   for (const [k, v] of Object.entries(attrs || {}))
@@ -367,7 +383,10 @@ function fieldRow(tab, spec) {
     input = el("input", {id, value: spec.default === null ? "" :
                          String(spec.default)});
   if (spec.kind === "bool" && spec.default) input.checked = true;
-  return el("label", {}, spec.name + " ", input);
+  const attrs = {};
+  const tip = META.i18n["tooltip." + spec.name];
+  if (tip) attrs.title = tip;
+  return el("label", attrs, T("field." + spec.name) + " ", input);
 }
 
 function collect(tab, specs, extraIds) {
@@ -392,85 +411,86 @@ async function submit(kind, params) {
 }
 
 function pathRows(tab, names) {
-  return names.map(n => el("label", {}, n + " ",
+  return names.map(n => el("label", {}, T("field." + n) + " ",
     el("input", {id: tab + "__" + n})));
 }
 
 function buildForms() {
   const c = document.getElementById("content");
+  c.innerHTML = "";
   // render tab
   const rt = el("div", {class: "tab", id: "tab-render"});
-  rt.append(el("h3", {}, "3D render"), ...pathRows("render",
+  rt.append(el("h3", {}, T("ui.h.render")), ...pathRows("render",
     ["input", "depth", "output", "checkpoint"]));
   const presetSel = el("select", {id: "render__preset"});
-  presetSel.append(el("option", {value: ""}, "(none)"));
+  presetSel.append(el("option", {value: ""}, T("ui.none")));
   for (const p of META.render.presets)
     presetSel.append(el("option", {value: p}, p));
-  rt.append(el("label", {}, "preset ", presetSel));
-  rt.append(el("h3", {}, "config"));
+  rt.append(el("label", {}, T("field.preset") + " ", presetSel));
+  rt.append(el("h3", {}, T("ui.section.config")));
   for (const s of META.render.config) rt.append(fieldRow("render", s));
-  const det = el("details", {}, el("summary", {}, "stereo params"));
+  const det = el("details", {}, el("summary", {}, T("ui.section.params")));
   for (const s of META.render.params) det.append(fieldRow("render", s));
   rt.append(det);
   rt.append(el("button", {class: "go", onclick: () => submit("render",
     Object.assign(collect("render", META.render.config, ["input", "depth",
       "output", "checkpoint", "preset"]),
-      collect("render", META.render.params)))}, "Start render"));
+      collect("render", META.render.params)))}, T("ui.btn.render")));
   c.append(rt);
   // depth tab
   const dt = el("div", {class: "tab", id: "tab-depth"});
-  dt.append(el("h3", {}, "Depth estimation"),
+  dt.append(el("h3", {}, T("ui.h.depth")),
     ...pathRows("depth", ["input", "output"]));
   const msel = el("select", {id: "depth__model"});
   for (const m of META.depth.models)
     msel.append(el("option", {value: m.name}, m.name + " (" + m.family +
       ")"));
-  dt.append(el("label", {}, "model ", msel));
+  dt.append(el("label", {}, T("field.model") + " ", msel));
   for (const s of META.depth.config)
     if (s.name !== "model") dt.append(fieldRow("depth", s));
   dt.append(el("button", {class: "go", onclick: () => submit("depth",
     collect("depth", META.depth.config, ["input", "output", "model"]))},
-    "Start depth"));
+    T("ui.btn.depth")));
   c.append(dt);
   // tools tab
   const tt = el("div", {class: "tab", id: "tab-tools"});
-  tt.append(el("h3", {}, "Frame tools (RIFE / Real-ESRGAN)"),
+  tt.append(el("h3", {}, T("ui.h.tools")),
     ...pathRows("tools", ["input", "output", "esrgan_weights",
                           "rife_weights"]));
   for (const s of META.tools.config) tt.append(fieldRow("tools", s));
   tt.append(el("button", {class: "go", onclick: () => submit("tools",
     collect("tools", META.tools.config, ["input", "output",
-      "esrgan_weights", "rife_weights"]))}, "Start tools"));
+      "esrgan_weights", "rife_weights"]))}, T("ui.btn.tools")));
   c.append(tt);
   // audio tab
   const at = el("div", {class: "tab", id: "tab-audio"});
-  at.append(el("h3", {}, "Audio rip / attach"),
+  at.append(el("h3", {}, T("ui.h.audio")),
     ...pathRows("audio", ["input", "audio", "output"]));
   const modeSel = el("select", {id: "audio__mode"},
     el("option", {value: "rip"}, "rip"),
     el("option", {value: "attach"}, "attach"));
-  at.append(el("label", {}, "mode ", modeSel));
+  at.append(el("label", {}, T("field.mode") + " ", modeSel));
   const csel = el("select", {id: "audio__codec"});
   csel.append(el("option", {value: "copy"}, "copy"));
   for (const cd of META.audio.codecs)
     csel.append(el("option", {value: cd}, cd));
-  at.append(el("label", {}, "codec ", csel));
-  at.append(el("label", {}, "bitrate ",
+  at.append(el("label", {}, T("field.codec") + " ", csel));
+  at.append(el("label", {}, T("field.bitrate") + " ",
     el("input", {id: "audio__bitrate"})));
-  at.append(el("label", {}, "offset (s) ",
+  at.append(el("label", {}, T("field.offset") + " ",
     el("input", {id: "audio__offset", value: "0"})));
   at.append(el("button", {class: "go", onclick: () => submit("audio",
     collect("audio", [], ["input", "audio", "output", "mode", "codec",
-      "bitrate", "offset"]))}, "Run audio"));
+      "bitrate", "offset"]))}, T("ui.btn.audio")));
   c.append(at);
   // scenes tab
   const st = el("div", {class: "tab", id: "tab-scenes"});
-  st.append(el("h3", {}, "Scene detection"),
+  st.append(el("h3", {}, T("ui.h.scenes")),
     ...pathRows("scenes", ["input", "output"]));
   for (const s of META.scenes.config) st.append(fieldRow("scenes", s));
   st.append(el("button", {class: "go", onclick: () => submit("scenes",
     collect("scenes", META.scenes.config, ["input", "output"]))},
-    "Detect scenes"));
+    T("ui.btn.scenes")));
   c.append(st);
   // jobs tab
   c.append(el("div", {class: "tab", id: "tab-jobs"},
@@ -490,34 +510,59 @@ async function refreshJobs() {
   const r = await fetch("/api/jobs");
   const jobs = await r.json();
   const tbl = document.getElementById("jobtable");
+  if (!tbl) return;
   tbl.innerHTML = "";
-  tbl.append(el("tr", {}, ...["id", "kind", "status", "progress",
-    "output / error", "control"].map(h => el("th", {}, h))));
+  tbl.append(el("tr", {}, ...["id", "kind", "status", "progress", "output",
+    "control"].map(h => el("th", {}, T("ui.col." + h)))));
   for (const j of jobs.reverse()) {
     const prog = j.progress.frames !== undefined ?
-      (j.progress.frames + " frames @ " + (j.progress.fps || 0) + " fps" +
-       (j.progress.eta_s ? " ETA " + Math.round(j.progress.eta_s) + "s" :
-        "")) : JSON.stringify(j.progress);
+      (j.progress.frames + " " + T("ui.frames") + " @ " +
+       (j.progress.fps || 0) + " fps" +
+       (j.progress.eta_s ? " " + T("ui.eta") + " " +
+        Math.round(j.progress.eta_s) + "s" : "")) :
+      JSON.stringify(j.progress);
     const ctl = el("td", {});
     for (const a of ["pause", "resume", "cancel"])
       ctl.append(el("button", {class: "jbtn", onclick: () =>
         fetch("/api/jobs/" + j.id + "/control", {method: "POST",
           headers: {"Content-Type": "application/json"},
-          body: JSON.stringify({action: a})})}, a));
+          body: JSON.stringify({action: a})})}, T("ui.job." + a)));
     tbl.append(el("tr", {},
       el("td", {}, String(j.id)), el("td", {}, j.kind),
-      el("td", {class: "st-" + j.status}, j.status),
+      el("td", {class: "st-" + j.status}, T("ui.status." + j.status)),
       el("td", {}, prog),
       el("td", {}, j.error || j.output || ""), ctl));
   }
 }
 
-async function init() {
-  META = await (await fetch("/api/meta")).json();
+function buildChrome() {
   const tabs = document.getElementById("tabs");
+  tabs.innerHTML = "";
   for (const t of TABS)
     tabs.append(el("button", {id: "tabbtn-" + t,
-      onclick: () => showTab(t)}, t));
+      onclick: () => showTab(t)}, T("ui.tab." + t)));
+  const lsel = el("select", {id: "langsel", title: T("ui.lang"),
+    onchange: () => setLang(lsel.value)});
+  for (const l of META.languages)
+    lsel.append(el("option", {value: l}, l));
+  lsel.value = META.lang;
+  lsel.style.cssText = "width:auto;margin:6px 8px 6px auto;";
+  tabs.append(lsel);
+}
+
+async function setLang(lang) {
+  localStorage.setItem("vd3d_lang", lang);
+  META = await (await fetch("/api/meta?lang=" + lang)).json();
+  buildChrome();
+  buildForms();
+  showTab("render");
+}
+
+async function init() {
+  const lang = localStorage.getItem("vd3d_lang");
+  META = await (await fetch("/api/meta" +
+    (lang ? "?lang=" + lang : ""))).json();
+  buildChrome();
   buildForms();
   showTab("render");
   setInterval(refreshJobs, 1000);
@@ -531,6 +576,7 @@ init();
 class _Handler(BaseHTTPRequestHandler):
     manager: JobManager = None  # set by make_server
     meta: dict = None
+    _meta_cache: dict = None  # per-language meta, built on demand
 
     def log_message(self, *a):  # quiet
         pass
@@ -552,7 +598,19 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
-        elif self.path == "/api/meta":
+        elif self.path.split("?")[0] == "/api/meta":
+            from urllib.parse import parse_qs, urlsplit
+
+            q = parse_qs(urlsplit(self.path).query)
+            lang = (q.get("lang") or [None])[0]
+            if lang and lang != self.meta["lang"]:
+                if lang not in self.meta["languages"]:
+                    return self._json({"error": f"unknown lang {lang!r}"},
+                                      400)
+                meta = self._meta_cache.get(lang)
+                if meta is None:
+                    meta = self._meta_cache[lang] = build_meta(lang)
+                return self._json(meta)
             self._json(self.meta)
         elif self.path == "/api/jobs":
             self._json(self.manager.snapshot())
@@ -569,9 +627,10 @@ class _Handler(BaseHTTPRequestHandler):
             kind = body.get("kind")
             params = body.get("params") or {}
             if kind not in RUNNERS:
-                return self._json({"error": f"unknown kind {kind!r}"}, 400)
+                return self._json(
+                    {"error": t("error.unknown_kind", kind=repr(kind))}, 400)
             if not params.get("input"):
-                return self._json({"error": "params.input is required"}, 400)
+                return self._json({"error": t("error.input_required")}, 400)
             job = self.manager.submit(kind, params)
             return self._json(job.snapshot(), 201)
         if self.path.startswith("/api/jobs/") and self.path.endswith(
@@ -596,7 +655,8 @@ def make_server(port: int = 0, host: str = "127.0.0.1"):
     port 0 binds an ephemeral port (tests)."""
     manager = JobManager(RUNNERS)
     handler = type("Handler", (_Handler,),
-                   {"manager": manager, "meta": build_meta()})
+                   {"manager": manager, "meta": build_meta(),
+                    "_meta_cache": {}})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, manager
 
