@@ -149,11 +149,15 @@ def legs():
     from visiondepth3d_tpu.stereo import StereoParams
 
     n_frames = int(os.environ.get("E2E_FRAMES", "200"))
+    in_w = int(os.environ.get("E2E_W", "1920"))
+    in_h = int(os.environ.get("E2E_H", "1080"))
+    out_fmt = os.environ.get("E2E_FORMAT", "Full-SBS")
+    out_h = int(os.environ.get("E2E_OUT_H", str(in_h)))
     work = os.environ.get("E2E_DIR", "/dev/shm/vd3d_e2e")
-    clip = os.path.join(work, "clip1080.y4m")
+    clip = os.path.join(work, f"clip_{in_w}x{in_h}.y4m")
     if not os.path.exists(clip):
         os.makedirs(work, exist_ok=True)
-        gen_clip(clip, max(n_frames, 1000))
+        gen_clip(clip, max(n_frames, 1000), h=in_h, w=in_w)
 
     out = {}
 
@@ -171,9 +175,9 @@ def legs():
     pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=518),
                           inference_size=518, dtype="bfloat16")
     params = StereoParams(enable_healing=True)
-    cfg = RenderConfig(output_format="Full-SBS", output_height=1080,
+    cfg = RenderConfig(output_format=out_fmt, output_height=out_h,
                        chunk_size=16, mesh="off")
-    geom = resolve_geometry(1920, 1080, "Full-SBS", 1080,
+    geom = resolve_geometry(in_w, in_h, out_fmt, out_h,
                             "Default (16:9)", False, 0, 0)
     fn = make_chunk_fn(params, geom, cfg, predictor=pred, yuv_in=True)
 
@@ -235,7 +239,8 @@ def legs():
     host = np.asarray(pend)
     out["full_e2e_fps"] = round((k - 1) * 16 / (time.perf_counter() - t0), 1)
     wr.close()
-    print(json.dumps({"metric": "product e2e leg attribution", **out}),
+    print(json.dumps({"metric": "product e2e leg attribution "
+                                f"{in_w}x{in_h} {out_fmt}@{out_h}p", **out}),
           flush=True)
 
 

@@ -396,7 +396,11 @@ def config6():
     @jax.jit
     def enc_jit(vp_, carry):
         x, acc = carry
-        lat = vae.apply({"params": vp_}, x * 2.0 - 1.0,
+        # production casts activations to the weight dtype
+        # (DepthCrafterPipeline._encode); without it the f32 input
+        # promotes every conv to f32 on the MXU
+        lat = vae.apply({"params": vp_},
+                        x.astype(jnp.bfloat16) * 2.0 - 1.0,
                         method=AutoencoderKL.encode_mode)
         acc = acc + jnp.sum(lat.astype(jnp.float32))
         x = x + (acc % 2).astype(x.dtype) * 1e-6  # chain input on carry
@@ -445,7 +449,13 @@ def config6():
     @jax.jit
     def dec_jit(vp_, carry):
         z, acc = carry
-        d = vae.apply({"params": vp_}, z, method=AutoencoderKL.decode)
+        # production decodes frames chunk-1 via lax.map at the weight
+        # dtype (DepthCrafterPipeline._decode, marigold_split decode5-vs-
+        # decode1 finding); mirror it
+        d = jax.lax.map(
+            lambda zi: vae.apply({"params": vp_},
+                                 zi[None].astype(jnp.bfloat16),
+                                 method=AutoencoderKL.decode)[0], z)
         acc = acc + jnp.sum(d.astype(jnp.float32))
         z = z + (acc % 2).astype(z.dtype) * 1e-6
         return (z, acc), acc

@@ -1,6 +1,8 @@
 """Diffusion depth stack: schedulers (closed-form checks), VAE/UNet shapes,
 Marigold + DepthCrafter tiny pipelines end-to-end (random weights)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -185,3 +187,60 @@ def test_marigold_run_ensemble_matches_serial():
             for e in range(3)]
     ref = np.median(np.stack(outs), axis=0)
     np.testing.assert_allclose(ens, ref, atol=2e-5)
+
+
+def _bf16_tree(t):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+
+
+def test_unets_stay_bf16_end_to_end(rng):
+    """bf16 params + bf16 inputs must produce a bf16 output.
+
+    Regression: the f32 sinusoidal time embedding used to promote every
+    resnet (and everything downstream) to f32, silently running the whole
+    UNet at f32 MXU throughput (the reference runs the Marigold/DepthCrafter
+    pipes fp16, render_depth.py:771, depth_crafter_ppl.py:175)."""
+    unet = UNet2DCondition(UNET2D_TINY)
+    x = jnp.asarray(rng.random((1, 16, 16, 8), dtype=np.float32))
+    ctx = jnp.asarray(rng.random((1, 7, UNET2D_TINY.cross_attention_dim),
+                                 dtype=np.float32))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.asarray(10.0), ctx)["params"]
+    out = unet.apply({"params": _bf16_tree(params)},
+                     x.astype(jnp.bfloat16), jnp.asarray(500.0),
+                     ctx.astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
+
+    st = UNetSpatioTemporal(UNET_ST_TINY)
+    xs = jnp.asarray(rng.random((1, 2, 16, 16, 8), dtype=np.float32))
+    cs = jnp.asarray(rng.random((1, 1, UNET_ST_TINY.cross_attention_dim),
+                                dtype=np.float32))
+    sp = st.init(jax.random.PRNGKey(1), xs, jnp.asarray(0.0), cs)["params"]
+    outs = st.apply({"params": _bf16_tree(sp)}, xs.astype(jnp.bfloat16),
+                    jnp.asarray(1.5), cs.astype(jnp.bfloat16))
+    assert outs.dtype == jnp.bfloat16
+
+
+def test_bf16_pipelines_cast_inputs(rng):
+    """bf16-weight pipelines must accept f32 host inputs and stay finite
+    (the pipeline casts activations to the weight dtype internally)."""
+    pipe = tiny_marigold(steps=2)
+    pipe_bf16 = dataclasses.replace(
+        pipe, unet_params=_bf16_tree(pipe.unet_params),
+        vae_params=_bf16_tree(pipe.vae_params), ensemble_size=2)
+    assert pipe_bf16.compute_dtype == jnp.bfloat16
+    rgb = rng.random((1, 16, 16, 3), dtype=np.float32)
+    d = np.asarray(pipe_bf16.run_ensemble(rgb, seed=1))
+    assert d.shape == (1, 16, 16) and np.isfinite(d).all()
+
+    dc = tiny_depthcrafter(steps=2, window=4, overlap=2)
+    dc_bf16 = dataclasses.replace(
+        dc, unet_params=_bf16_tree(dc.unet_params),
+        vae_params=_bf16_tree(dc.vae_params),
+        clip_params=_bf16_tree(dc.clip_params))
+    assert dc_bf16.compute_dtype == jnp.bfloat16
+    frames = rng.random((6, 16, 16, 3), dtype=np.float32)
+    out = dc_bf16(frames)
+    assert out.shape == (6, 16, 16) and np.isfinite(out).all()
+    outp = dc_bf16.run_parallel(frames)
+    assert outp.shape == (6, 16, 16) and np.isfinite(outp).all()

@@ -60,12 +60,21 @@ class DepthCrafterPipeline:
         self.unet_params = _jax.device_put(self.unet_params)
         self.vae_params = _jax.device_put(self.vae_params)
         self.clip_params = _jax.device_put(self.clip_params)
+        # compute dtype follows the weights (bf16 params -> bf16
+        # activations end to end; the reference runs fp16 with a
+        # fp32-upcast only inside the VAE, depth_crafter_ppl.py:175-198).
+        # Without these casts, f32 inputs promote the whole 1.1B-param
+        # UNet to f32 on the MXU.
+        cdt = jnp.result_type(*jax.tree.leaves(self.unet_params)[:1])
+        self.compute_dtype = cdt
 
         def denoise_window(unet_params, cond_latent, ctx, init_latent):
             """cond_latent: [1, Tw, h, w, 4]; ctx: [1, 1, D];
             init_latent: [1, Tw, h, w, 4] = noise*sigma0 (possibly re-seeded).
             """
-            latent = init_latent
+            cond_latent = cond_latent.astype(cdt)
+            ctx = ctx.astype(cdt)
+            latent = init_latent.astype(cdt)
             for i in range(self.num_steps):
                 sigma = float(self.schedule.sigmas[i])
                 c_skip, c_out, c_in = svd_precondition(sigma)
@@ -80,17 +89,24 @@ class DepthCrafterPipeline:
 
         def encode(vae_params, frames01):
             return self.vae.apply(
-                {"params": vae_params}, frames01 * 2.0 - 1.0,
+                {"params": vae_params}, frames01.astype(cdt) * 2.0 - 1.0,
                 method=AutoencoderKL.encode_mode,
             )
 
         self._encode = jax.jit(encode)
 
         def decode(vae_params, latents):
-            d = self.vae.apply(
-                {"params": vae_params}, latents, method=AutoencoderKL.decode
+            # frames decode one at a time (lax.map, one batch-1 body): at
+            # product geometry the batched decoder's intermediates spill —
+            # chunk-1 measured 2.2x cheaper per frame at the same pixel
+            # count (benchmarks/marigold_split.py decode5 vs decode1)
+            d = jax.lax.map(
+                lambda z: self.vae.apply(
+                    {"params": vae_params}, z[None].astype(cdt),
+                    method=AutoencoderKL.decode)[0],
+                latents,
             )
-            return jnp.mean(d, axis=-1)
+            return jnp.mean(d.astype(jnp.float32), axis=-1)
 
         self._decode = jax.jit(decode)
 
@@ -175,7 +191,8 @@ class DepthCrafterPipeline:
         tw = min(self.window_size, t)
         finals = self.denoise_windows_parallel(cond, ctx, noise_full, starts, mesh)
 
-        out_latents = jnp.zeros_like(cond)
+        # stitch in f32 regardless of compute dtype (cross-fade accumulation)
+        out_latents = jnp.zeros(cond.shape, jnp.float32)
         weights = jnp.zeros((t, 1, 1, 1), jnp.float32)
         for g, start in enumerate(starts):
             ramp = np.ones(tw, np.float32)
@@ -183,7 +200,8 @@ class DepthCrafterPipeline:
                 ov = min(self.overlap, tw)
                 ramp[:ov] = np.linspace(1.0 / (ov + 1), 1.0, ov, endpoint=False)
             wgt = jnp.asarray(ramp)[:, None, None, None]
-            out_latents = out_latents.at[start : start + tw].add(finals[g] * wgt)
+            out_latents = out_latents.at[start : start + tw].add(
+                finals[g].astype(jnp.float32) * wgt)
             weights = weights.at[start : start + tw].add(wgt)
         out_latents = out_latents / jnp.maximum(weights, 1e-8)
         return self._decode(self.vae_params, out_latents)  # [T, H, W]

@@ -160,9 +160,35 @@ def load_depthcrafter(checkpoint_dir, steps: int = 2, window: int = 24,
     )
 
 
+def _cast_pipeline(pipe, dtype: str):
+    """Cast a pipeline's float weights to ``dtype`` (the pipelines cast
+    activations to the weight dtype internally; the reference runs its
+    diffusion paths fp16, render_depth.py:771)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float32:
+        return pipe
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    kw = {"unet_params": cast(pipe.unet_params),
+          "vae_params": cast(pipe.vae_params)}
+    if hasattr(pipe, "clip_params"):
+        kw["clip_params"] = cast(pipe.clip_params)
+    return _dc.replace(pipe, **kw)
+
+
 def load_diffusion_pipeline(name: str, checkpoint=None, steps: int | None = None,
                             window: int = 24, overlap: int = 6,
-                            ensemble: int = 1, allow_random: bool = False):
+                            ensemble: int = 1, allow_random: bool = False,
+                            dtype: str = "float32"):
     """Dispatcher entry for the diffusion catalog families.
 
     ``checkpoint`` must be a converted checkpoint directory (see module
@@ -178,10 +204,13 @@ def load_diffusion_pipeline(name: str, checkpoint=None, steps: int | None = None
                 "allow_random=True for shape/compile testing only."
             )
         if is_dc:
-            return tiny_depthcrafter(steps=steps or 2, window=window,
+            pipe = tiny_depthcrafter(steps=steps or 2, window=window,
                                      overlap=overlap)
-        return tiny_marigold(steps=steps or 2)
-    if is_dc:
-        return load_depthcrafter(checkpoint, steps=steps or 2,
+        else:
+            pipe = tiny_marigold(steps=steps or 2)
+    elif is_dc:
+        pipe = load_depthcrafter(checkpoint, steps=steps or 2,
                                  window=window, overlap=overlap)
-    return load_marigold(checkpoint, steps=steps or 4, ensemble=ensemble)
+    else:
+        pipe = load_marigold(checkpoint, steps=steps or 4, ensemble=ensemble)
+    return _cast_pipeline(pipe, dtype)

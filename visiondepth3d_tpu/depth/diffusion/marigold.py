@@ -44,10 +44,17 @@ class MarigoldPipeline:
 
         self.unet_params = _jax.device_put(self.unet_params)
         self.vae_params = _jax.device_put(self.vae_params)
+        # compute dtype follows the weights: bf16 params -> bf16
+        # activations end to end (the reference runs the whole Marigold
+        # pipe fp16, render_depth.py:771). Without this cast, f32 inputs
+        # promote every matmul/conv to f32 on the MXU.
+        cdt = jnp.result_type(*jax.tree.leaves(self.unet_params)[:1])
+        self.compute_dtype = cdt
 
         def run(unet_params, vae_params, rgb01, noise):
             """rgb01: [B, H, W, 3] in [0,1]; noise: [B, h8, w8, 4]."""
-            rgb = rgb01 * 2.0 - 1.0
+            rgb = (rgb01.astype(cdt) * 2.0 - 1.0)
+            noise = noise.astype(cdt)
             rgb_latent = self.vae.apply(
                 {"params": vae_params}, rgb, method=AutoencoderKL.encode_mode
             )
@@ -64,7 +71,7 @@ class MarigoldPipeline:
             depth = self.vae.apply(
                 {"params": vae_params}, depth_latent, method=AutoencoderKL.decode
             )
-            depth = jnp.mean(depth, axis=-1)  # channel-mean, [-1, 1]
+            depth = jnp.mean(depth.astype(jnp.float32), axis=-1)  # [-1, 1]
             return jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
 
         self._run = jax.jit(run)
@@ -78,7 +85,8 @@ class MarigoldPipeline:
             once instead of E times."""
             e = noise_e.shape[0]
             b = rgb01.shape[0]
-            rgb = rgb01 * 2.0 - 1.0
+            rgb = rgb01.astype(cdt) * 2.0 - 1.0
+            noise_e = noise_e.astype(cdt)
             rgb_latent = self.vae.apply(
                 {"params": vae_params}, rgb, method=AutoencoderKL.encode_mode
             )  # [B, h8, w8, 4]
@@ -96,11 +104,18 @@ class MarigoldPipeline:
                     jnp.asarray(t, jnp.float32), ctx
                 )
                 depth_latent = self.schedule.step(v, i, depth_latent)
-            depth = self.vae.apply(
-                {"params": vae_params}, depth_latent,
-                method=AutoencoderKL.decode
+            # decode members one at a time: the batched [E*B, 96, 96, 4]
+            # decode measured 606 ms vs 5 x 54.6 ms chunked at product
+            # geometry (benchmarks/marigold_split.py — the 768^2 decoder's
+            # intermediates at batch 5 blow past VMEM and XLA spills);
+            # lax.map compiles ONE batch-1 body reused E*B times
+            depth = jax.lax.map(
+                lambda z: self.vae.apply(
+                    {"params": vae_params}, z[None],
+                    method=AutoencoderKL.decode)[0],
+                depth_latent,
             )
-            depth = jnp.mean(depth, axis=-1)  # [E*B, H, W]
+            depth = jnp.mean(depth.astype(jnp.float32), axis=-1)  # [E*B, H, W]
             depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
             return jnp.median(depth.reshape((e, b) + depth.shape[1:]),
                               axis=0)

@@ -163,6 +163,13 @@ class UNet2DCondition(nn.Module):
         temb = timestep_embedding(timesteps, c0)
         temb = nn.Dense(c0 * 4, name="time_fc1")(temb)
         temb = nn.Dense(c0 * 4, name="time_fc2")(jax.nn.silu(temb))
+        # the sinusoidal embedding is f32; without this cast an f32 temb
+        # promotes every resnet (and everything downstream) to f32, which
+        # on the MXU runs at a fraction of bf16 throughput — the whole
+        # UNet must run at the latents' dtype (the reference runs the
+        # entire Marigold pipe fp16, render_depth.py:771)
+        temb = temb.astype(latents.dtype)
+        context = context.astype(latents.dtype)
 
         h = _conv(c0, "conv_in")(latents)
         skips = [h]

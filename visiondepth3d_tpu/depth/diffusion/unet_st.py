@@ -187,8 +187,11 @@ class UNetSpatioTemporal(nn.Module):
         temb = timestep_embedding(ts.reshape(b * t), c0)
         temb = nn.Dense(c0 * 4, name="time_fc1")(temb)
         temb = nn.Dense(c0 * 4, name="time_fc2")(jax.nn.silu(temb))  # [BT, 4c0]
+        # keep the whole net at the latents' dtype: an f32 temb would
+        # promote every resnet to f32 (see unet2d.py, same rationale)
+        temb = temb.astype(latents.dtype)
 
-        ctx = jnp.repeat(context, t, axis=0)  # [BT, L, D]
+        ctx = jnp.repeat(context, t, axis=0).astype(latents.dtype)  # [BT, L, D]
 
         x = latents.reshape(b * t, hh, ww, cfg.in_channels)
         x = _conv(c0, "conv_in")(x)

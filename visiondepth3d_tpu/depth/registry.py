@@ -352,7 +352,8 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     if entry.family == "diffusion":
         from .diffusion import load_diffusion_pipeline
 
-        return load_diffusion_pipeline(name, checkpoint, **family_kw)
+        return load_diffusion_pipeline(name, checkpoint, dtype=dtype,
+                                       **family_kw)
     raise NotImplementedError(
         f"{name}: family {entry.family} loads via its own module"
     )

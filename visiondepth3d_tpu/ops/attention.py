@@ -158,4 +158,9 @@ def multi_head_attention(q, k, v):
             return t(_flash_nhd(t(q), t(k), t(v)))
         if q.dtype == jnp.bfloat16:
             return _bf16_softmax_attention(q, k, v)
+    # jax.nn.dot_product_attention requires q/k/v to share a dtype; mixed
+    # inputs (e.g. f32 hidden states vs bf16 cross-attn context) promote
+    if not (q.dtype == k.dtype == v.dtype):
+        dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
+        q, k, v = q.astype(dt), k.astype(dt), v.astype(dt)
     return jax.nn.dot_product_attention(q, k, v)
