@@ -175,8 +175,9 @@ def legs():
     pred = DepthPredictor(DA_V2_SMALL, init_random(DA_V2_SMALL, size=518),
                           inference_size=518, dtype="bfloat16")
     params = StereoParams(enable_healing=True)
+    t_chunk = int(os.environ.get("E2E_CHUNK", "16"))
     cfg = RenderConfig(output_format=out_fmt, output_height=out_h,
-                       chunk_size=16, mesh="off")
+                       chunk_size=t_chunk, mesh="off")
     geom = resolve_geometry(in_w, in_h, out_fmt, out_h,
                             "Default (16:9)", False, 0, 0)
     fn = make_chunk_fn(params, geom, cfg, predictor=pred, yuv_in=True)
@@ -184,27 +185,27 @@ def legs():
     def read_chunks(k):
         rd = Y4MPlaneReader(clip)
         for _ in range(k):
-            fs = [rd.read() for _ in range(16)]
+            fs = [rd.read() for _ in range(t_chunk)]
             yield (np.stack([f[0] for f in fs]),
                    np.stack([f[1] for f in fs]),
                    np.stack([f[2] for f in fs]))
         rd.close()
 
-    k = n_frames // 16
+    k = n_frames // t_chunk
     # -- decode + compute, 4-byte checksum readback (no output fetch) --
     tr = init_trackers(geom.eye_h, geom.eye_w)
     chunks = read_chunks(k)
     first = next(chunks)
-    tr, o = fn(tr, first, np.zeros(16, bool))
+    tr, o = fn(tr, first, np.zeros(t_chunk, bool))
     float(jnp.sum(o.astype(jnp.uint32)))  # warm/compile fence
     t0 = time.perf_counter()
     acc = None
     for fb in chunks:
-        tr, o = fn(tr, fb, np.zeros(16, bool))
+        tr, o = fn(tr, fb, np.zeros(t_chunk, bool))
         acc = jnp.sum(o.astype(jnp.uint32))
     float(acc)
     out["decode_plus_compute_fps"] = round(
-        (k - 1) * 16 / (time.perf_counter() - t0), 1)
+        (k - 1) * t_chunk / (time.perf_counter() - t0), 1)
 
     # -- full: + packed-plane readback + y4m write --
     from visiondepth3d_tpu.ops.convert import rgb_u8_to_yuv420
@@ -221,23 +222,24 @@ def legs():
                    geom.out_w, geom.out_h, 30.0)
     tr = init_trackers(geom.eye_h, geom.eye_w)
     chunks = read_chunks(k)
-    tr, o = fn(tr, next(chunks), np.zeros(16, bool))
+    tr, o = fn(tr, next(chunks), np.zeros(t_chunk, bool))
     _ = np.asarray(pack(o))
     t0 = time.perf_counter()
     pend = None
     hh, ww, q = geom.out_h, geom.out_w, geom.out_h // 4
     for fb in chunks:
-        tr, o = fn(tr, fb, np.zeros(16, bool))
+        tr, o = fn(tr, fb, np.zeros(t_chunk, bool))
         o = pack(o)
         if pend is not None:
             host = np.asarray(pend)
-            for i in range(16):
+            for i in range(t_chunk):
                 wr.write_yuv420(host[i, :hh],
                                 host[i, hh:hh + q].reshape(hh // 2, ww // 2),
                                 host[i, hh + q:].reshape(hh // 2, ww // 2))
         pend = o
     host = np.asarray(pend)
-    out["full_e2e_fps"] = round((k - 1) * 16 / (time.perf_counter() - t0), 1)
+    out["full_e2e_fps"] = round(
+        (k - 1) * t_chunk / (time.perf_counter() - t0), 1)
     wr.close()
     print(json.dumps({"metric": "product e2e leg attribution "
                                 f"{in_w}x{in_h} {out_fmt}@{out_h}p", **out}),
