@@ -106,6 +106,25 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = (K * T * iters) / dt
+
+    # Quality gate of the SHIPPED stereo configuration (VERDICT r4 #1):
+    # the same StereoParams fast path (hist quantiles, bf16 image plane,
+    # dispatched warp/postfx backend, healing on, no parity quantization)
+    # SSIM'd against the ACTUAL reference chain (render_3d.py:1261-1407,
+    # torch CPU) on a synthetic clip. BASELINE.md acceptance: >= 0.99.
+    # Depth inference is excluded by construction (both sides consume the
+    # same depth frames, matching the reference's video+depth contract).
+    try:
+        from visiondepth3d_tpu.utils.refloop import worst_ssim_vs_reference
+
+        qw = 448
+        qp = StereoParams(enable_healing=True, image_dtype="bfloat16",
+                          blur_ksize=7, dof_strength=1.5
+                          ).with_shift_bound(qw)
+        ssim_vs_ref = round(worst_ssim_vs_reference(qp, hw=(256, qw)), 4)
+    except Exception:  # reference tree or torch unavailable on this host
+        ssim_vs_ref = None
+
     print(
         json.dumps(
             {
@@ -113,6 +132,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 4),
+                "ssim_vs_ref": ssim_vs_ref,
             }
         )
     )

@@ -320,3 +320,198 @@ def test_tools_cli_mesh_flag(tmp_path):
     assert rc == 0
     with Y4MReader(dst) as rd:
         assert len(list(rd)) == 9
+
+
+def _torch_rdb_cls(torch, tnn, tF, nf, gc):
+    class RDB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for k in range(1, 6):
+                cin = nf + (k - 1) * gc
+                cout = gc if k < 5 else nf
+                setattr(self, f"conv{k}", tnn.Conv2d(cin, cout, 3, 1, 1))
+
+        def forward(self, x):
+            x1 = tF.leaky_relu(self.conv1(x), 0.2)
+            x2 = tF.leaky_relu(self.conv2(torch.cat([x, x1], 1)), 0.2)
+            x3 = tF.leaky_relu(self.conv3(torch.cat([x, x1, x2], 1)), 0.2)
+            x4 = tF.leaky_relu(self.conv4(torch.cat([x, x1, x2, x3], 1)), 0.2)
+            x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+            return x + 0.2 * x5
+
+    class RRDBt(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rdb1, self.rdb2, self.rdb3 = RDB(), RDB(), RDB()
+
+        def forward(self, x):
+            return x + 0.2 * self.rdb3(self.rdb2(self.rdb1(x)))
+
+    return RRDBt
+
+
+def test_realesrgan_x2_pixel_unshuffle_parity():
+    """Real-ESRGAN x2plus style: torch pixel_unshuffle (c-major channel
+    order) feeds a 12-in conv_first; converted weights must reproduce the
+    torch output exactly — this pins our NHWC unshuffle channel order."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from visiondepth3d_tpu.enhance import convert_esrgan
+
+    nf, gc, nb = 16, 8, 2
+    RRDBt = _torch_rdb_cls(torch, tnn, tF, nf, gc)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = tnn.Conv2d(12, nf, 3, 1, 1)
+            self.body = tnn.ModuleList([RRDBt() for _ in range(nb)])
+            self.conv_body = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_hr = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = tnn.Conv2d(nf, 3, 3, 1, 1)
+
+        def forward(self, x):
+            feat = tF.pixel_unshuffle(x, 2)
+            feat = self.conv_first(feat)
+            trunk = feat
+            for b in self.body:
+                trunk = b(trunk)
+            feat = feat + self.conv_body(trunk)
+            feat = tF.leaky_relu(self.conv_up1(
+                tF.interpolate(feat, scale_factor=2, mode="nearest")), 0.2)
+            feat = tF.leaky_relu(self.conv_up2(
+                tF.interpolate(feat, scale_factor=2, mode="nearest")), 0.2)
+            return self.conv_last(tF.leaky_relu(self.conv_hr(feat), 0.2))
+
+    torch.manual_seed(1)
+    net = Net().eval()
+    x = np.random.default_rng(1).random((1, 12, 16, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params, cfg = convert_esrgan(state)
+    assert (cfg.scale, cfg.n_up, cfg.unshuffle) == (2, 2, True)
+    assert (cfg.nf, cfg.nb, cfg.gc) == (nf, nb, gc)
+    ours = np.asarray(cfg.build().apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def _bsrgan_net(torch, tnn, tF, nf, gc, nb, sf):
+    """KAIR/BSRGAN network_rrdbnet.py transcription: RRDB_trunk naming,
+    no unshuffle, upconv2 applied only at sf=4 (but always DEFINED —
+    the .pth ambiguity the scale override exists for)."""
+    RRDBt = _torch_rdb_cls(torch, tnn, tF, nf, gc)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = tnn.Conv2d(3, nf, 3, 1, 1)
+            self.RRDB_trunk = tnn.Sequential(*[RRDBt() for _ in range(nb)])
+            self.trunk_conv = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.upconv1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.upconv2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.HRconv = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = tnn.Conv2d(nf, 3, 3, 1, 1)
+
+        def forward(self, x):
+            fea = self.conv_first(x)
+            fea = fea + self.trunk_conv(self.RRDB_trunk(fea))
+            fea = tF.leaky_relu(self.upconv1(
+                tF.interpolate(fea, scale_factor=2, mode="nearest")), 0.2)
+            if sf == 4:
+                fea = tF.leaky_relu(self.upconv2(
+                    tF.interpolate(fea, scale_factor=2, mode="nearest")), 0.2)
+            return self.conv_last(tF.leaky_relu(self.HRconv(fea), 0.2))
+
+    return Net()
+
+
+def test_bsrgan_x2_parity_and_onnx_roundtrip(tmp_path):
+    """BSRGANx2: KAIR naming, single upsample stage. Exercises (a) the
+    KAIR->canonical rename, (b) scale override for the .pth ambiguity,
+    (c) the ONNX-initializer load path (pruned upconv2 -> x2 inferred
+    with NO override), mirroring the reference's shipped fp16 exports."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from visiondepth3d_tpu.enhance import convert_esrgan, load_esrgan_weights
+    from visiondepth3d_tpu.utils.onnx_reader import write_onnx_initializers
+
+    nf, gc, nb = 16, 8, 2
+    torch.manual_seed(2)
+    net = _bsrgan_net(torch, tnn, tF, nf, gc, nb, sf=2).eval()
+    x = np.random.default_rng(2).random((1, 12, 16, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+
+    # KAIR uses RDB1/RDB2/RDB3 attribute case; rename rdbN -> RDBN to
+    # present the authentic key shapes
+    state = {}
+    for k, v in net.state_dict().items():
+        k = k.replace(".rdb1.", ".RDB1.").replace(".rdb2.", ".RDB2.") \
+             .replace(".rdb3.", ".RDB3.")
+        state[k] = v.numpy()
+
+    # (a)+(b): full .pth-style table with unused upconv2 -> needs override
+    params, cfg = convert_esrgan(state, scale=2)
+    assert (cfg.scale, cfg.n_up, cfg.unshuffle) == (2, 1, False)
+    ours = np.asarray(cfg.build().apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    # without the override, the dangling upconv2 makes it look like x4
+    _, cfg4 = convert_esrgan(state)
+    assert cfg4.scale == 4
+
+    # (c): ONNX export prunes unused initializers -> x2 auto-inferred;
+    # fp16 storage like the reference's *_fp16.onnx artifacts
+    pruned = {k: v.astype(np.float16) for k, v in state.items()
+              if not k.startswith("upconv2.")}
+    path = tmp_path / "BSRGANx2_fp16.onnx"
+    write_onnx_initializers(path, pruned)
+    params_o, cfg_o = load_esrgan_weights(path)
+    assert (cfg_o.scale, cfg_o.n_up, cfg_o.unshuffle) == (2, 1, False)
+    ours_o = np.asarray(cfg_o.build().apply({"params": params_o},
+                                            jnp.asarray(x)))
+    np.testing.assert_allclose(ours_o, ref, atol=2e-3)  # fp16 storage
+
+
+def test_bsrgan_x4_parity():
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from visiondepth3d_tpu.enhance import convert_esrgan
+
+    nf, gc, nb = 16, 8, 1
+    torch.manual_seed(3)
+    net = _bsrgan_net(torch, tnn, tF, nf, gc, nb, sf=4).eval()
+    x = np.random.default_rng(3).random((1, 8, 12, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params, cfg = convert_esrgan(state)
+    assert (cfg.scale, cfg.n_up, cfg.unshuffle) == (4, 2, False)
+    ours = np.asarray(cfg.build().apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_esrgan_catalog_names():
+    from visiondepth3d_tpu.enhance import ESRGAN_CATALOG
+
+    # the five shipped dropdown entries (VisionDepth3D.py:1094-1100)
+    assert set(ESRGAN_CATALOG) == {
+        "RealESR_Gx4", "RealESRGAN_x4", "RealESR_Animex4",
+        "BSRGANx2", "BSRGANx4",
+    }
+    for name, entry in ESRGAN_CATALOG.items():
+        assert entry["file"].endswith(".onnx")
+        assert entry["scale"] in (2, 4)

@@ -431,3 +431,28 @@ def test_pallas_warp_lane_padded_width(rgb_frame, depth_ramp):
     for a, b in zip(out, ref):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_bilateral_smooth_depth_matches_cv2(depth_ramp):
+    cv2 = __import__("pytest").importorskip("cv2")
+    from visiondepth3d_tpu.ops.filters import bilateral_smooth_depth
+
+    rng = np.random.default_rng(7)
+    d = np.clip(depth_ramp + 0.08 * rng.standard_normal(depth_ramp.shape),
+                0.0, 1.0).astype(np.float32)
+    d_u8 = np.round(d * 255.0).astype(np.uint8)
+    ref = cv2.bilateralFilter(d_u8, d=9, sigmaColor=75, sigmaSpace=75)
+    # feed the exact u8 grid so the only deltas are accumulation order +
+    # cv2's output rounding
+    ours = np.asarray(bilateral_smooth_depth(jnp.asarray(d_u8 / 255.0)))
+    assert np.abs(ours * 255.0 - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_bilateral_smooth_depth_preserves_edges():
+    from visiondepth3d_tpu.ops.filters import bilateral_smooth_depth
+
+    d = np.zeros((32, 64), np.float32)
+    d[:, 32:] = 1.0  # hard edge
+    out = np.asarray(bilateral_smooth_depth(jnp.asarray(d)))
+    # bilateral must NOT wash the edge out: values stay near 0/1 either side
+    assert out[:, :30].max() < 0.02 and out[:, 34:].min() > 0.98

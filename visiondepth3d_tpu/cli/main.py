@@ -255,7 +255,7 @@ def cmd_tools(args) -> int:
 
     cfg = EnhanceConfig(
         use_esrgan=args.esrgan,
-        esrgan_scale=args.esrgan_scale,
+        esrgan_scale=args.esrgan_scale or 4,
         pre_downscale=args.pre_downscale,
         keep_original_size=not args.upscaled_size,
         blend_mode=args.blend,
@@ -266,12 +266,24 @@ def cmd_tools(args) -> int:
         dtype=getattr(args, "dtype", "float32"),
     )
     esrgan_params = rife_params = None
-    if args.esrgan_weights:
-        from ..depth.convert import load_safetensors_state
-        from .. import enhance as _enh
+    esrgan_path = args.esrgan_weights
+    if getattr(args, "esrgan_model", None):
+        from ..enhance import ESRGAN_CATALOG
+        import os
 
-        state = load_safetensors_state(args.esrgan_weights)
-        esrgan_params = _enh.convert_rrdbnet(state, nb=cfg.esrgan_nb)
+        entry = ESRGAN_CATALOG[args.esrgan_model]
+        esrgan_path = os.path.join(args.weights_dir or "weights",
+                                   entry["file"])
+    if esrgan_path:
+        from ..enhance import load_esrgan_weights
+
+        esrgan_params, ecfg = load_esrgan_weights(
+            esrgan_path, scale=args.esrgan_scale)
+        # geometry comes from the checkpoint, not the flags
+        cfg = dataclasses.replace(
+            cfg, esrgan_nf=ecfg.nf, esrgan_nb=ecfg.nb, esrgan_gc=ecfg.gc,
+            esrgan_scale=ecfg.scale, esrgan_n_up=ecfg.n_up,
+            esrgan_unshuffle=ecfg.unshuffle)
     if args.rife_weights:
         from ..enhance.rife import load_rife_weights
 
@@ -630,7 +642,11 @@ def build_parser() -> _I18nParser:
     tp.add_argument("--rife", action="store_true")
     tp.add_argument("--multiplier", type=int, default=2, choices=[2, 4, 8])
     tp.add_argument("--esrgan", action="store_true")
-    tp.add_argument("--esrgan-scale", type=int, default=4, choices=[2, 4])
+    tp.add_argument("--esrgan-scale", type=int, default=None,
+                    choices=[2, 4],
+                    help="override the inferred output scale (needed only "
+                         "for KAIR-style .pth files whose unused upconv2 "
+                         "makes x2 look like x4)")
     tp.add_argument("--pre-downscale", type=float, default=1.0)
     tp.add_argument("--blend", default="OFF",
                     choices=["OFF", "LOW", "MEDIUM", "HIGH"])
@@ -639,8 +655,21 @@ def build_parser() -> _I18nParser:
                     choices=["float32", "bfloat16"],
                     help="bfloat16: bf16 conv stacks (2x MXU throughput, "
                          "<1 u8 step output delta)")
-    tp.add_argument("--esrgan-weights", default=None,
-                    help="Real-ESRGAN RRDBNet .safetensors checkpoint")
+    tp.add_argument("--esrgan-weights", "--esrgan-checkpoint", default=None,
+                    dest="esrgan_weights",
+                    help="RRDBNet-family checkpoint: .onnx (the formats "
+                         "the reference ships), .safetensors, or torch "
+                         ".pth; geometry (nf/nb/gc/scale) is inferred")
+    from ..enhance.esrgan import ESRGAN_CATALOG
+
+    tp.add_argument("--esrgan-model", default=None,
+                    choices=sorted(ESRGAN_CATALOG),
+                    help="named upscaler from the reference's catalog "
+                         "(VisionDepth3D.py:1094-1100); resolved under "
+                         "--weights-dir")
+    tp.add_argument("--weights-dir", default=None,
+                    help="directory holding the named catalog artifacts "
+                         "(default ./weights)")
     tp.add_argument("--rife-weights", default=None,
                     help="RIFE IFNet checkpoint (.onnx export, .safetensors "
                          "or torch .pth state dict)")

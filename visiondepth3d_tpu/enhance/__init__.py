@@ -1,4 +1,12 @@
-from .esrgan import RRDBNet, blend_images, convert_rrdbnet
+from .esrgan import (
+    ESRGAN_CATALOG,
+    ESRGANConfig,
+    RRDBNet,
+    blend_images,
+    convert_esrgan,
+    convert_rrdbnet,
+    load_esrgan_weights,
+)
 from .pipeline import EnhanceConfig, init_enhance_params, run_merged_pipeline
 from .rife import (
     IFNet,

@@ -15,6 +15,8 @@ independent torch transcription of RRDBNet in tests/test_enhance.py.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -118,25 +120,44 @@ def _nearest_up2(x):
 
 
 def _pixel_unshuffle(x, r):
+    """NHWC pixel-unshuffle with torch/basicsr channel order: output
+    channel index = c * r^2 + i * r + j (c-major). Matching the exact
+    order matters for CONVERTED x2/x1 checkpoints, whose conv_first was
+    trained against torch's ``pixel_unshuffle`` layout."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // r, r, w // r, r, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, c * r * r)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h', w', c, i, j
+    return x.reshape(b, h // r, w // r, c * r * r)
 
 
 class RRDBNet(nn.Module):
-    """scale in {1, 2, 4}; scale<4 pixel-unshuffles the input."""
+    """RRDB super-resolution net, covering BOTH released lineages:
+
+    - Real-ESRGAN style (``unshuffle=True``, ``n_up=2``): always two
+      nearest-up2 convs; scale<4 pixel-unshuffles the input so the trunk
+      runs at 1/4 output resolution (RealESRGAN_x4/x2plus, anime-6B).
+    - KAIR/BSRGAN style (``unshuffle=False``): no input unshuffle; the
+      output scale is 2**n_up (BSRGANx2 -> n_up=1, BSRGANx4 -> n_up=2).
+
+    ``scale`` is always the OUTPUT scale; use ``convert_esrgan`` /
+    ``ESRGANConfig`` to derive a consistent (scale, n_up, unshuffle)
+    triple from a checkpoint.
+    """
 
     nf: int = 64
     nb: int = 23
     gc: int = 32
     scale: int = 4
+    n_up: int = 2
+    unshuffle: bool = True
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, 3] in [0, 1] -> [B, H*s, W*s, 3]
-        if self.scale == 2:
-            x = _pixel_unshuffle(x, 2)
-        elif self.scale == 1:
-            x = _pixel_unshuffle(x, 4)
+        if self.unshuffle:
+            if self.scale == 2:
+                x = _pixel_unshuffle(x, 2)
+            elif self.scale == 1:
+                x = _pixel_unshuffle(x, 4)
 
         def conv(n, out, act=None):
             return Conv3x3(out, act=act, name=n)
@@ -146,8 +167,9 @@ class RRDBNet(nn.Module):
         for i in range(self.nb):
             trunk = RRDB(self.nf, self.gc, name=f"body{i}")(trunk)
         feat = feat + conv("conv_body", self.nf)(trunk)
-        feat = conv("conv_up1", self.nf, act="lrelu")(_nearest_up2(feat))
-        feat = conv("conv_up2", self.nf, act="lrelu")(_nearest_up2(feat))
+        for i in range(self.n_up):
+            feat = conv(f"conv_up{i + 1}", self.nf,
+                        act="lrelu")(_nearest_up2(feat))
         feat = conv("conv_hr", self.nf, act="lrelu")(feat)
         return conv("conv_last", 3)(feat)
 
@@ -184,14 +206,16 @@ def apply_rrdbnet_staged(
     """
     from jax import lax
 
+    assert model.n_up == 2, "staged tail assumes the 2-up (4x-factor) tail"
     ps = dict(params)
     trunk_p = {k: v for k, v in ps.items()
                if k.startswith(("conv_first", "body", "conv_body"))}
     tail_p = {k: v for k, v in ps.items()
               if k.startswith(("conv_up", "conv_hr", "conv_last"))}
 
-    trunk = _RRDBTrunk(model.nf, model.nb, model.gc, model.scale)
-    tail = _RRDBTail(model.nf)
+    trunk = _RRDBTrunk(model.nf, model.nb, model.gc, model.scale,
+                       model.unshuffle)
+    tail = _RRDBTail(model.nf, model.n_up)
     feat = trunk.apply({"params": trunk_p}, x)
 
     b, h, w, nf = feat.shape
@@ -234,13 +258,15 @@ class _RRDBTrunk(nn.Module):
     nb: int
     gc: int
     scale: int
+    unshuffle: bool = True
 
     @nn.compact
     def __call__(self, x):
-        if self.scale == 2:
-            x = _pixel_unshuffle(x, 2)
-        elif self.scale == 1:
-            x = _pixel_unshuffle(x, 4)
+        if self.unshuffle:
+            if self.scale == 2:
+                x = _pixel_unshuffle(x, 2)
+            elif self.scale == 1:
+                x = _pixel_unshuffle(x, 4)
 
         def conv(n, out):
             return Conv3x3(out, name=n)
@@ -254,20 +280,125 @@ class _RRDBTrunk(nn.Module):
 
 class _RRDBTail(nn.Module):
     nf: int
+    n_up: int = 2
 
     @nn.compact
     def __call__(self, feat):
         def conv(n, out, act=None):
             return Conv3x3(out, act=act, name=n)
 
-        feat = conv("conv_up1", self.nf, act="lrelu")(_nearest_up2(feat))
-        feat = conv("conv_up2", self.nf, act="lrelu")(_nearest_up2(feat))
+        for i in range(self.n_up):
+            feat = conv(f"conv_up{i + 1}", self.nf,
+                        act="lrelu")(_nearest_up2(feat))
         feat = conv("conv_hr", self.nf, act="lrelu")(feat)
         return conv("conv_last", 3)(feat)
 
 
-def convert_rrdbnet(state: dict, nb: int = 23) -> dict:
-    """Official Real-ESRGAN torch state dict -> flax params."""
+@dataclasses.dataclass(frozen=True)
+class ESRGANConfig:
+    """Inferred RRDBNet geometry; ``scale`` is the OUTPUT scale."""
+
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    scale: int = 4
+    n_up: int = 2
+    unshuffle: bool = True
+
+    def build(self) -> RRDBNet:
+        return RRDBNet(nf=self.nf, nb=self.nb, gc=self.gc, scale=self.scale,
+                       n_up=self.n_up, unshuffle=self.unshuffle)
+
+
+# The reference's shipped upscaler dropdown (VisionDepth3D.py:1094-1100):
+# five fp16 ONNX exports under weights/. ``scale`` pins the ambiguity a
+# .pth checkpoint can't resolve by names alone (BSRGAN state dicts carry
+# an unused upconv2 at sf=2); ONNX exports prune unused initializers so
+# inference alone suffices there.
+ESRGAN_CATALOG = {
+    "RealESR_Gx4": {"file": "RealESR_Gx4_fp16.onnx", "scale": 4},
+    "RealESRGAN_x4": {"file": "RealESRGANx4_fp16.onnx", "scale": 4},
+    "RealESR_Animex4": {"file": "RealESR_Animex4_fp16.onnx", "scale": 4},
+    "BSRGANx2": {"file": "BSRGANx2_fp16.onnx", "scale": 2},
+    "BSRGANx4": {"file": "BSRGANx4_fp16.onnx", "scale": 4},
+}
+
+
+def _canon_esrgan_state(state: dict) -> tuple[dict, str]:
+    """Normalize checkpoint names to the Real-ESRGAN scheme.
+
+    Returns (state, style) with style in {"realesrgan", "kair"}.
+    Handles the two naming lineages in the wild (and in the reference's
+    shipped ONNX exports, whose initializers keep the torch names):
+    - Real-ESRGAN: conv_first / body.N.rdbM.convK / conv_body /
+      conv_up1,2 / conv_hr / conv_last
+    - KAIR/BSRGAN: conv_first / RRDB_trunk.N.RDBM.convK / trunk_conv /
+      upconv1,2 / HRconv / conv_last
+    A leading "model." (or "module.") wrapper prefix is stripped.
+    """
+    for pre in ("model.", "module."):
+        if all(k.startswith(pre) for k in state):
+            state = {k[len(pre):]: v for k, v in state.items()}
+    style = "kair" if any(
+        k.startswith(("RRDB_trunk.", "trunk_conv.")) for k in state
+    ) else "realesrgan"
+    if style == "realesrgan":
+        return state, style
+    out = {}
+    for k, v in state.items():
+        if k.startswith("RRDB_trunk."):
+            parts = k.split(".")
+            k = ".".join(["body", parts[1], parts[2].lower(), *parts[3:]])
+        elif k.startswith("trunk_conv."):
+            k = "conv_body." + k.split(".", 1)[1]
+        elif k.startswith("upconv1."):
+            k = "conv_up1." + k.split(".", 1)[1]
+        elif k.startswith("upconv2."):
+            k = "conv_up2." + k.split(".", 1)[1]
+        elif k.startswith("HRconv."):
+            k = "conv_hr." + k.split(".", 1)[1]
+        out[k] = v
+    return out, style
+
+
+def infer_esrgan_config(state: dict, style: str,
+                        scale: int | None = None) -> ESRGANConfig:
+    """Derive (nf, nb, gc, scale, n_up, unshuffle) from a canonicalized
+    state dict. ``scale`` overrides the inference where names alone are
+    ambiguous (KAIR .pth files: upconv2 exists but is unused at sf=2)."""
+    w_first = np.asarray(state["conv_first.weight"])
+    nf, in_c = int(w_first.shape[0]), int(w_first.shape[1])
+    gc = int(np.asarray(state["body.0.rdb1.conv1.weight"]).shape[0])
+    nb = 1 + max(int(k.split(".")[1]) for k in state if k.startswith("body."))
+    if style == "realesrgan":
+        inferred = {3: 4, 12: 2, 48: 1}[in_c]
+        if scale is not None and scale != inferred:
+            raise ValueError(
+                f"checkpoint pixel-unshuffles to scale {inferred}, "
+                f"but scale={scale} was requested")
+        return ESRGANConfig(nf=nf, nb=nb, gc=gc, scale=inferred,
+                            n_up=2, unshuffle=True)
+    # KAIR/BSRGAN: output scale = 2**n_up, no unshuffle. The x2 network
+    # applies only upconv1 (network_rrdbnet.py gates upconv2 on sf==4);
+    # ONNX exports prune the unused upconv2 so presence tells the truth.
+    if scale is None:
+        scale = 4 if "conv_up2.weight" in state else 2
+    if scale not in (2, 4):
+        raise ValueError(f"BSRGAN-style checkpoints are x2/x4, got {scale}")
+    return ESRGANConfig(nf=nf, nb=nb, gc=gc, scale=scale,
+                        n_up=scale.bit_length() - 1, unshuffle=False)
+
+
+def convert_esrgan(state: dict,
+                   scale: int | None = None) -> tuple[dict, ESRGANConfig]:
+    """Any RRDBNet-family checkpoint (torch state dict, safetensors table,
+    or the name-preserving ONNX export's initializer table — the format
+    the reference actually ships, VisionDepth3D.py:1094-1100) ->
+    (flax params, inferred ESRGANConfig). fp16 weights are upcast."""
+    state = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+             for k, v in state.items()}
+    state, style = _canon_esrgan_state(state)
+    cfg = infer_esrgan_config(state, style, scale)
 
     def conv(prefix):
         return {
@@ -279,18 +410,55 @@ def convert_rrdbnet(state: dict, nb: int = 23) -> dict:
     params = {
         "conv_first": conv("conv_first"),
         "conv_body": conv("conv_body"),
-        "conv_up1": conv("conv_up1"),
-        "conv_up2": conv("conv_up2"),
         "conv_hr": conv("conv_hr"),
         "conv_last": conv("conv_last"),
     }
-    for i in range(nb):
+    for i in range(cfg.n_up):
+        params[f"conv_up{i + 1}"] = conv(f"conv_up{i + 1}")
+    for i in range(cfg.nb):
         blk = {}
         for r in (1, 2, 3):
             blk[f"rdb{r}"] = {
-                f"conv{k}": conv(f"body.{i}.rdb{r}.conv{k}") for k in range(1, 6)
+                f"conv{k}": conv(f"body.{i}.rdb{r}.conv{k}")
+                for k in range(1, 6)
             }
         params[f"body{i}"] = blk
+    return params, cfg
+
+
+def load_esrgan_weights(path, scale: int | None = None
+                        ) -> tuple[dict, ESRGANConfig]:
+    """Load ESRGAN/BSRGAN weights from .pth (torch), .safetensors, or
+    .onnx (initializer table — mirrors enhance/rife.py:load_rife_weights,
+    the converter the reference's ONNX-only artifacts need)."""
+    p = str(path)
+    if p.endswith(".onnx"):
+        from ..utils.onnx_reader import read_onnx_initializers
+
+        state = read_onnx_initializers(p)
+    elif p.endswith(".safetensors"):
+        from ..depth.convert import load_safetensors_state
+
+        state = load_safetensors_state(p)
+    else:
+        import torch
+
+        raw = torch.load(p, map_location="cpu", weights_only=True)
+        if isinstance(raw, dict):
+            for key in ("params_ema", "params", "state_dict"):
+                if key in raw and isinstance(raw[key], dict):
+                    raw = raw[key]
+                    break
+        state = {k: v.numpy() for k, v in raw.items()}
+    return convert_esrgan(state, scale=scale)
+
+
+def convert_rrdbnet(state: dict, nb: int = 23) -> dict:
+    """Back-compat wrapper: Real-ESRGAN torch state dict -> flax params
+    (geometry is inferred; ``nb`` is validated against the checkpoint)."""
+    params, cfg = convert_esrgan(state)
+    if cfg.nb != nb:
+        raise ValueError(f"checkpoint has nb={cfg.nb}, caller expected {nb}")
     return params
 
 

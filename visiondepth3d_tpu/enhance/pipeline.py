@@ -29,6 +29,9 @@ class EnhanceConfig:
     esrgan_scale: int = 4
     esrgan_nf: int = 64
     esrgan_nb: int = 23
+    esrgan_gc: int = 32
+    esrgan_n_up: int = 2  # nearest-up2 conv stages in the tail
+    esrgan_unshuffle: bool = True  # Real-ESRGAN input pixel-unshuffle style
     pre_downscale: float = 1.0  # 0.25..1.0 input shrink before upscale
     keep_original_size: bool = True  # reference resizes back to source size
     blend_mode: str = "OFF"  # OFF/LOW/MEDIUM/HIGH
@@ -68,10 +71,12 @@ def _apply_esrgan(cfg: EnhanceConfig, esrgan, params, x):
     tail tiled — enhance/esrgan.py:apply_rrdbnet_staged, exact parity)
     when the upscale tail's activations would not fit HBM."""
     t, h, w = x.shape[0], x.shape[1], x.shape[2]
-    unshuffle = 4 // cfg.esrgan_scale  # trunk resolution divisor
+    # trunk resolution divisor: input unshuffle factor (1 for KAIR style)
+    unshuffle = (4 // cfg.esrgan_scale) if cfg.esrgan_unshuffle else 1
     th, tw = h // unshuffle, w // unshuffle
     tile_h, tile_w = _tile_len(th), _tile_len(tw)
-    if t * th * tw <= _STAGE_THRESHOLD_PX or tile_h is None or tile_w is None:
+    if (t * th * tw <= _STAGE_THRESHOLD_PX or tile_h is None
+            or tile_w is None or cfg.esrgan_n_up != 2):
         return esrgan.apply({"params": params}, x)
     from .esrgan import apply_rrdbnet_staged
 
@@ -90,7 +95,9 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
     reference has no multi-GPU analog (SURVEY.md §2.8); this generalizes
     its prefetch-queue concurrency (merged_pipeline.py:85-104) to devices.
     """
-    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
+    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, cfg.esrgan_gc,
+                     scale=cfg.esrgan_scale, n_up=cfg.esrgan_n_up,
+                     unshuffle=cfg.esrgan_unshuffle)
     rife = IFNet(scales=cfg.rife_scales)
     h, w = in_hw
     # device-resident once: closed-over host params would re-transfer on
@@ -163,7 +170,9 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
 def init_enhance_params(cfg: EnhanceConfig, in_hw=(64, 64), seed=0):
     """Random-init both models (until converted checkpoints are supplied)."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, scale=cfg.esrgan_scale)
+    esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, cfg.esrgan_gc,
+                     scale=cfg.esrgan_scale, n_up=cfg.esrgan_n_up,
+                     unshuffle=cfg.esrgan_unshuffle)
     ep = esrgan.init(k1, jnp.zeros((1, 16, 16, 3)))["params"] if cfg.use_esrgan else {}
     rife = IFNet(scales=cfg.rife_scales)
     rp = (

@@ -112,6 +112,51 @@ def sharpen(x: jnp.ndarray, factor) -> jnp.ndarray:
     return jnp.clip(out, 0.0, 1.0)
 
 
+def bilateral_smooth_depth(
+    d: jnp.ndarray,
+    ksize: int = 9,
+    sigma_color: float = 75.0,
+    sigma_space: float = 75.0,
+) -> jnp.ndarray:
+    """Edge-preserving bilateral smoothing of a depth map.
+
+    Spec: the reference's ``bilateral_smooth_depth`` (render_3d.py:191-195),
+    i.e. ``cv2.bilateralFilter(u8, d=9, sigmaColor=75, sigmaSpace=75)`` on a
+    uint8 depth plane — dead code in the reference render path, provided for
+    strict §2.1 completeness. OpenCV semantics transcribed: circular window
+    of radius ``ksize // 2`` (taps with euclidean distance > radius are
+    skipped), spatial weight ``exp(-0.5 r^2 / sigma_space^2)``, range weight
+    ``exp(-0.5 dv^2 / sigma_color^2)`` with ``dv`` in u8 value scale,
+    reflect-101 borders.
+
+    d: [H, W] float depth in [0, 1] (internally treated in u8 scale like
+    the reference, but WITHOUT the destructive u8 round-trip). Static taps
+    unroll into shifted adds — XLA fuses them; no gathers.
+    """
+    radius = ksize // 2
+    sc = max(float(sigma_color), 1.0)
+    ss = max(float(sigma_space), 1.0)
+    v = d * 255.0
+    vp = jnp.pad(v, radius, mode="reflect")
+    h, w = v.shape
+    num = jnp.zeros_like(v)
+    den = jnp.zeros_like(v)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            r2 = dy * dy + dx * dx
+            if r2 > radius * radius:
+                continue  # cv2's circular mask
+            sw = np.exp(-0.5 * r2 / (ss * ss))
+            tap = lax.slice(
+                vp, (radius + dy, radius + dx), (radius + dy + h, radius + dx + w)
+            )
+            diff = tap - v
+            wgt = sw * jnp.exp(-0.5 * (diff * diff) / (sc * sc))
+            num = num + wgt * tap
+            den = den + wgt
+    return (num / den) / 255.0
+
+
 def forward_diff_grad(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Left/top zero-padded forward differences (torch F.pad parity).
 

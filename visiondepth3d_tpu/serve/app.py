@@ -174,11 +174,16 @@ def _run_tools(job: Job) -> str:
 
     esrgan_params = rife_params = None
     if p.get("esrgan_weights"):
-        from ..depth.convert import load_safetensors_state
-        from .. import enhance as _enh
+        import dataclasses as _dc
 
-        esrgan_params = _enh.convert_rrdbnet(
-            load_safetensors_state(p["esrgan_weights"]), nb=cfg.esrgan_nb)
+        from ..enhance import load_esrgan_weights
+
+        esrgan_params, ecfg = load_esrgan_weights(
+            p["esrgan_weights"], scale=p.get("esrgan_scale"))
+        cfg = _dc.replace(
+            cfg, esrgan_nf=ecfg.nf, esrgan_nb=ecfg.nb, esrgan_gc=ecfg.gc,
+            esrgan_scale=ecfg.scale, esrgan_n_up=ecfg.n_up,
+            esrgan_unshuffle=ecfg.unshuffle)
     if p.get("rife_weights"):
         from ..enhance.rife import load_rife_weights
 
