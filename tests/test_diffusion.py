@@ -244,3 +244,26 @@ def test_bf16_pipelines_cast_inputs(rng):
     assert out.shape == (6, 16, 16) and np.isfinite(out).all()
     outp = dc_bf16.run_parallel(frames)
     assert outp.shape == (6, 16, 16) and np.isfinite(outp).all()
+
+
+def test_depthcrafter_reference_degenerate_geometry(rng):
+    """The reference GUI ships window 24 / overlap 25
+    (render_depth.py:1788-1789) — a NEGATIVE stride its own pipeline
+    cannot execute past one window (zero windows for 25..32-frame
+    batches, unbounded loop beyond). Our pipeline must accept the config,
+    clamp to a terminating stride, and cover every frame."""
+    pipe = tiny_depthcrafter(steps=1, window=4, overlap=5)  # overlap>window
+    assert pipe.overlap == 3  # clamped to window-1 (stride 1)
+    frames = rng.random((7, 16, 16, 3), dtype="float32")
+    d = pipe(frames)
+    assert d.shape == (7, 16, 16)
+    import numpy as np
+
+    assert np.isfinite(d).all()
+    # full coverage: every start in 0..3 plus the tail window
+    assert pipe._windows(7) == [0, 1, 2, 3]
+
+    # <=window batches: single window, reference-equivalent semantics
+    d_short = pipe(rng.random((4, 16, 16, 3), dtype="float32"))
+    assert d_short.shape == (4, 16, 16)
+    assert pipe._windows(4) == [0]

@@ -203,10 +203,10 @@ def test_rife_real_weights():
         pytest.skip("rife.onnx not mounted")
     from visiondepth3d_tpu.enhance.rife import load_rife_weights, rife_apply
 
-    params = load_rife_weights(path)
+    params_cfg = load_rife_weights(path)  # (params, IFNetConfig)
     a = _ground_plane_scene(96, 128)[0]
     b = np.roll(a, 4, axis=1)
-    mid = np.asarray(rife_apply(params, a, b))
+    mid = np.asarray(rife_apply(params_cfg, a, b))
     assert np.isfinite(mid).all()
     # the interpolated frame must sit between the endpoints, not copy one
     assert 0 < np.abs(mid - a).mean() < np.abs(b - a).mean()
@@ -220,12 +220,13 @@ def test_esrgan_real_weights():
     from visiondepth3d_tpu import enhance as enh
 
     state = RecordingState(load_safetensors_state(path))
-    params = enh.convert_rrdbnet(state, nb=23)
+    params, ecfg = enh.convert_esrgan(state)
     _coverage(state)
+    assert ecfg.scale == 4 and ecfg.nb == 23
     from visiondepth3d_tpu.enhance.esrgan import esrgan_apply
 
     x = _ground_plane_scene(48, 64)[0]
-    y = np.asarray(esrgan_apply(params, x, scale=4))
+    y = np.asarray(esrgan_apply(params, x, cfg=ecfg))
     assert y.shape == (192, 256, 3) and np.isfinite(y).all()
 
 
@@ -259,3 +260,4 @@ def test_depthcrafter_real_weights():
     assert d.std() > 1e-3
     # temporal coherence: a static clip must give near-static depth
     assert np.abs(np.diff(d, axis=0)).mean() < 0.05
+

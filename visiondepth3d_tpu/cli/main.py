@@ -80,7 +80,13 @@ def _build_render_parser(sub):
                    help="depth model for the fused route (no --depth)")
     p.add_argument("--checkpoint", default=None,
                    help="converted weights for --model (fused route)")
-    p.add_argument("--inference-size", type=int, default=None)
+    from ..depth.registry import parse_inference_size
+
+    p.add_argument("--inference-size", type=parse_inference_size,
+                   default=None, metavar="N|WxH|NAME",
+                   help="square int, WxH rectangle, or a named preset "
+                        "(dc-max-quality, 720p, ... — the reference's "
+                        "resolution catalog)")
     p.add_argument("--allow-random", action="store_true",
                    help="fused route without --checkpoint (garbage depth; "
                         "shape/compile testing only)")
@@ -543,6 +549,8 @@ def build_parser() -> _I18nParser:
     sub = ap.add_subparsers(dest="cmd", required=True)
     _build_render_parser(sub)
 
+    from ..depth.registry import parse_inference_size
+
     dp = sub.add_parser("depth", help="estimate a depth video from a 2D video")
     dp.add_argument("--input", required=True)
     dp.add_argument("--output", default=None)
@@ -550,7 +558,13 @@ def build_parser() -> _I18nParser:
                     help="cooperative suspend/resume/cancel control file "
                          "(same contract as vd3d render --control)")
     dp.add_argument("--model", default="depth-anything-v2-small")
-    dp.add_argument("--inference-size", type=int, default=518)
+    dp.add_argument("--inference-size", type=parse_inference_size,
+                    default=518, metavar="N|WxH|NAME",
+                    help="square int, WxH rectangle (e.g. 1024x576), a "
+                         "named preset (dc-max-quality, "
+                         "depth-anything-wide, 720p, 1080p, ...) or "
+                         "'original' for source resolution; snapped per "
+                         "model family")
     dp.add_argument("--batch-size", type=int, default=8)
     dp.add_argument("--invert", action="store_true")
     dp.add_argument("--bits", type=int, default=8, choices=[8, 16])
@@ -726,6 +740,17 @@ def build_parser() -> _I18nParser:
                          "image + param form, two-way bound to the "
                          "session file) at http://localhost:PORT")
 
+    vc = sub.add_parser(
+        "verify-checkpoints",
+        help="walk every converter family over a weights dir, smoke-test "
+             "whatever artifacts are present, write a pass/fail report "
+             "(first-contact readiness for real released checkpoints)")
+    vc.add_argument("dir", help="directory of released checkpoints (see "
+                                "utils/verify_checkpoints.py for the "
+                                "expected filenames per family)")
+    vc.add_argument("--report", default=None,
+                    help="report JSON path (default DIR/vd3d_verify.json)")
+
     sv = sub.add_parser("serve", help="full web control surface: the "
                         "reference's tabbed app (render / depth / tools / "
                         "audio / scenes) with a job queue and "
@@ -775,6 +800,16 @@ def main(argv=None) -> int:
         return cmd_scenes(args)
     if args.cmd == "preview":
         return cmd_preview(args)
+    if args.cmd == "verify-checkpoints":
+        from ..utils.verify_checkpoints import verify_checkpoints
+
+        report_path = args.report or os.path.join(args.dir,
+                                                  "vd3d_verify.json")
+        report = verify_checkpoints(args.dir, report_path)
+        print(json.dumps({k: report[k] for k in
+                          ("dir", "passed", "failed", "missing")}))
+        print(f"report: {report_path}")
+        return 0 if report["failed"] == 0 else 1
     if args.cmd == "serve":
         from ..serve import serve as _serve
 

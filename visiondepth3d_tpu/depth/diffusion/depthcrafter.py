@@ -49,6 +49,19 @@ class DepthCrafterPipeline:
     noise_aug: float = 0.02
 
     def __post_init__(self):
+        # Degenerate-geometry guard (the reference GUI SHIPS window 24 /
+        # overlap 25, render_depth.py:1788-1789): in the reference
+        # pipeline stride = window - overlap = -1, so a >window batch
+        # either yields ZERO windows (25..32 frames: "Inference failed")
+        # or loops forever (depth_crafter_ppl.py:244,336 — idx_start
+        # decreases). The only working interpretation of that config is
+        # "one window per <=24-frame batch", which t <= window_size
+        # already produces. Here overlap >= window clamps to window-1
+        # (stride 1) so every geometry terminates with full coverage;
+        # benchmarks/dc_overlap_curve.py records the seam/cost curve that
+        # justifies the cheaper default (overlap 6).
+        if self.overlap >= self.window_size:
+            self.overlap = self.window_size - 1
         self.unet = UNetSpatioTemporal(self.unet_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
         self.clip = CLIPVisionEncoder(self.clip_cfg)

@@ -28,6 +28,22 @@ def snap(value: int, multiple: int) -> int:
     return max(multiple, (value // multiple) * multiple)
 
 
+def snap_hw(size, multiple: int) -> tuple[int, int]:
+    """Per-dimension snap for square or rectangular inference sizes.
+
+    ``size``: int (square) or an (h, w) pair — the reference's resolution
+    catalog is rectangle-rich (INFERENCE_RESOLUTIONS,
+    render_depth.py:631-684: 1024x576 "DC-Max Quality", 910x518, ...) and
+    its video pipeline runs feed-forward models at those shapes; snapping
+    happens per dimension to the backbone's patch multiple.
+    """
+    if isinstance(size, (tuple, list)):
+        h, w = int(size[0]), int(size[1])
+    else:
+        h = w = int(size)
+    return snap(h, multiple), snap(w, multiple)
+
+
 @dataclasses.dataclass
 class DepthPredictor:
     """A loaded depth model: params + jitted forward at a fixed size.
@@ -39,7 +55,7 @@ class DepthPredictor:
 
     cfg: DPTConfig
     params: dict
-    inference_size: int = 518
+    inference_size: int | tuple = 518  # square int or (h, w) rectangle
     dtype: str = "float32"
     model: object = None
     # per-model preprocessing: DA/DPT families use ImageNet stats; ZoeDepth
@@ -80,7 +96,7 @@ class DepthPredictor:
             if bb is None:  # ZoeDepthNKConfig nests its trunk under .base
                 bb = getattr(getattr(self.cfg, "base", None), "backbone", None)
             patch = bb.patch_size
-        self._size = snap(self.inference_size, patch)
+        self._size = snap_hw(self.inference_size, patch)  # (h, w)
 
         @jax.jit
         def forward(params, frames01):  # [B, H, W, 3] in [0, 1]
@@ -90,10 +106,10 @@ class DepthPredictor:
                 # resize matmuls halve their HBM traffic and run
                 # single-pass on the MXU
                 frames01 = frames01.astype(jnp.bfloat16)
-                x = resize_bilinear(frames01, (self._size, self._size),
+                x = resize_bilinear(frames01, self._size,
                                     channel_last=True, precision="default")
             else:
-                x = resize_bilinear(frames01, (self._size, self._size),
+                x = resize_bilinear(frames01, self._size,
                                     channel_last=True)
             mean = jnp.asarray(self.mean, x.dtype)
             std = jnp.asarray(self.std, x.dtype)
@@ -121,10 +137,12 @@ class DepthPredictor:
         return d01
 
 
-def init_random(cfg: DPTConfig, seed: int = 0, size: int | None = None) -> dict:
+def init_random(cfg: DPTConfig, seed: int = 0,
+                size: int | tuple | None = None) -> dict:
     """Random-init params (tests / benchmarks without checkpoints)."""
     s = size or cfg.backbone.image_size
-    return init_random_model(DepthAnything(cfg), (1, s, s, 3), seed)
+    h, w = (s, s) if isinstance(s, int) else s
+    return init_random_model(DepthAnything(cfg), (1, h, w, 3), seed)
 
 
 def init_random_model(model, input_shape: tuple, seed: int = 0) -> dict:

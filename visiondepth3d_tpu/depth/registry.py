@@ -144,7 +144,8 @@ STANDARD_MEAN = (0.5, 0.5, 0.5)  # HF IMAGENET_STANDARD (ZoeDepth, DepthPro)
 STANDARD_STD = (0.5, 0.5, 0.5)
 
 
-def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
+def load_predictor(name: str, checkpoint=None,
+                   inference_size: int | tuple = 518,
                    seed: int = 0, dtype: str = "float32", config=None,
                    **family_kw):
     """Instantiate a predictor for a catalog entry — the uniform dispatcher
@@ -165,11 +166,16 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     # **kwargs (diffusion, ADVICE r2) never see it — e.g. a 'local:' dir
     # whose base is a diffusion family arriving via render_depth_video_file
     fast_head = bool(family_kw.pop("fast_head", False))
+    rect = isinstance(inference_size, (tuple, list))
+    if rect and tuple(inference_size)[0] == tuple(inference_size)[1]:
+        inference_size, rect = int(inference_size[0]), False
     if name.startswith("onnx:"):
         # arbitrary ONNX graph through the jax interpreter
         # (render_depth.py:832-954 run_onnx analog)
         from .onnx_exec import OnnxDepthPredictor
 
+        if rect:
+            raise ValueError("onnx: graphs run at square sizes; pass an int")
         return OnnxDepthPredictor(name[len("onnx:"):], inference_size)
     if name.startswith("local:"):
         import os
@@ -192,10 +198,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
     cfg = config if config is not None else entry.config
     if entry.family == "dpt_dinov2":
         if checkpoint is None:
-            from .model import snap
+            from .model import snap_hw
 
             params = init_random(
-                cfg, seed, size=snap(inference_size, cfg.backbone.patch_size)
+                cfg, seed,
+                size=snap_hw(inference_size, cfg.backbone.patch_size)
             )
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -213,9 +220,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         model = DPTBEiT(cfg, fast_head=fast_head)
         if checkpoint is None:
-            s2 = inference_size - inference_size % cfg.backbone.patch_size
+            from .model import snap_hw
+
+            sh, sw = snap_hw(inference_size, cfg.backbone.patch_size)
             params = model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, s2, s2, 3), jnp.float32)
+                jax.random.PRNGKey(seed), jnp.zeros((1, sh, sw, 3), jnp.float32)
             )["params"]
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -230,9 +239,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         model = DPTHybrid(cfg, fast_head=fast_head)
         if checkpoint is None:
-            s = inference_size - inference_size % cfg.backbone.patch_size
+            from .model import snap_hw
+
+            sh, sw = snap_hw(inference_size, cfg.backbone.patch_size)
             params = model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+                jax.random.PRNGKey(seed), jnp.zeros((1, sh, sw, 3), jnp.float32)
             )["params"]
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -248,9 +259,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         model = DPTClassic(cfg, fast_head=fast_head)
         if checkpoint is None:
-            s = inference_size - inference_size % cfg.backbone.patch_size
+            from .model import snap_hw
+
+            sh, sw = snap_hw(inference_size, cfg.backbone.patch_size)
             params = model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+                jax.random.PRNGKey(seed), jnp.zeros((1, sh, sw, 3), jnp.float32)
             )["params"]
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -272,9 +285,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         model = ZoeDepthNK(cfg) if nk else ZoeDepth(cfg)
         patch = (cfg.base if nk else cfg).backbone.patch_size
         if checkpoint is None:
-            s = max(patch, inference_size - inference_size % patch)
+            from .model import snap_hw
+
+            sh, sw = snap_hw(inference_size, patch)
             params = model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+                jax.random.PRNGKey(seed), jnp.zeros((1, sh, sw, 3), jnp.float32)
             )["params"]
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -295,6 +310,10 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         from .depth_pro import DepthPro, convert_depth_pro
 
         model = DepthPro(cfg)
+        if rect:
+            raise ValueError(
+                "depth-pro's multi-scale pyramid is square-only "
+                "(image_size * 2^k); pass a square inference size")
         # valid input sizes are image_size * 2^k (the multi-scale pyramid
         # halves down to the patch encoder's native window)
         base = cfg.image_model.image_size
@@ -319,6 +338,10 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
         from .vda import VDAPredictor, VideoDepthAnything, convert_vda
 
         model = VideoDepthAnything(cfg)
+        if rect:
+            raise ValueError(
+                "video-depth-anything runs its windowed pipeline at a "
+                "square size; pass an int")
         if checkpoint is None:
             patch = cfg.base.backbone.patch_size
             s = max(patch, inference_size - inference_size % patch)
@@ -339,9 +362,11 @@ def load_predictor(name: str, checkpoint=None, inference_size: int = 518,
 
         model = MidasNetSmall(cfg)
         if checkpoint is None:
-            s = max(32, inference_size - inference_size % 32)
+            from .model import snap_hw
+
+            sh, sw = snap_hw(inference_size, 32)
             params = model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+                jax.random.PRNGKey(seed), jnp.zeros((1, sh, sw, 3), jnp.float32)
             )["params"]
         elif isinstance(checkpoint, dict):
             params = checkpoint
@@ -451,6 +476,47 @@ _FAMILY_RESOLUTIONS = {
 def inference_resolutions(name: str) -> tuple:
     """Recommended square inference sizes for a catalog entry."""
     return _FAMILY_RESOLUTIONS.get(CATALOG[name].family, (384,))
+
+
+# Named rectangular presets mirroring the reference's resolution dropdown
+# (INFERENCE_RESOLUTIONS, render_depth.py:631-684), width-first like its
+# labels. Families snap each dimension to their patch multiple on load.
+INFERENCE_RESOLUTIONS: dict[str, tuple[int, int] | None] = {
+    "original": None,  # run at the (snapped) source resolution
+    "dc-fastest": (512, 256),
+    "dc-balanced": (704, 384),
+    "dc-good-quality": (960, 540),
+    "dc-max-quality": (1024, 576),
+    "depth-anything-wide": (910, 518),
+    "720p": (1280, 720),
+    "1080p": (1920, 1080),
+}
+
+
+def parse_inference_size(spec) -> int | tuple[int, int] | None:
+    """CLI size spec -> square int, (h, w) pair, or None ("original").
+
+    Accepts a bare int ("518"), "WxH" width-first (the reference catalog's
+    label convention: "1024x576" is 16:9 landscape), or a named preset
+    from INFERENCE_RESOLUTIONS.
+    """
+    if spec is None or isinstance(spec, int):
+        return spec
+    if isinstance(spec, (tuple, list)):
+        return tuple(int(v) for v in spec)
+    s = str(spec).strip().lower()
+    if s in INFERENCE_RESOLUTIONS:
+        wh = INFERENCE_RESOLUTIONS[s]
+        return None if wh is None else (wh[1], wh[0])
+    if "x" in s:
+        w, h = s.split("x", 1)
+        return (int(h), int(w))
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError(
+            f"--inference-size {spec!r}: expected an int, WxH, or one of "
+            f"{sorted(INFERENCE_RESOLUTIONS)}") from None
 
 
 def save_local_params(root: str, base_name: str, params) -> str:

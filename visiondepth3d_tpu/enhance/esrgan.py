@@ -324,52 +324,59 @@ ESRGAN_CATALOG = {
 }
 
 
-def _canon_esrgan_state(state: dict) -> tuple[dict, str]:
-    """Normalize checkpoint names to the Real-ESRGAN scheme.
+def _canon_esrgan_keymap(keys) -> tuple[dict, str]:
+    """Map canonical (Real-ESRGAN-scheme) names -> original checkpoint
+    names. Returns (keymap, style) with style in {"realesrgan", "kair"}.
 
-    Returns (state, style) with style in {"realesrgan", "kair"}.
     Handles the two naming lineages in the wild (and in the reference's
     shipped ONNX exports, whose initializers keep the torch names):
     - Real-ESRGAN: conv_first / body.N.rdbM.convK / conv_body /
       conv_up1,2 / conv_hr / conv_last
     - KAIR/BSRGAN: conv_first / RRDB_trunk.N.RDBM.convK / trunk_conv /
       upconv1,2 / HRconv / conv_last
-    A leading "model." (or "module.") wrapper prefix is stripped.
+    A leading "model." (or "module.") wrapper prefix is stripped. Only a
+    key MAP is built (no dict rebuild) so RecordingState-style coverage
+    checks in the real-weights harness still see every actual read.
     """
+    keys = list(keys)
+    strip = 0
     for pre in ("model.", "module."):
-        if all(k.startswith(pre) for k in state):
-            state = {k[len(pre):]: v for k, v in state.items()}
+        if keys and all(k.startswith(pre) for k in keys):
+            strip = len(pre)
+            break
+    stripped = [(k[strip:], k) for k in keys]
     style = "kair" if any(
-        k.startswith(("RRDB_trunk.", "trunk_conv.")) for k in state
+        s.startswith(("RRDB_trunk.", "trunk_conv.")) for s, _ in stripped
     ) else "realesrgan"
-    if style == "realesrgan":
-        return state, style
-    out = {}
-    for k, v in state.items():
-        if k.startswith("RRDB_trunk."):
-            parts = k.split(".")
-            k = ".".join(["body", parts[1], parts[2].lower(), *parts[3:]])
-        elif k.startswith("trunk_conv."):
-            k = "conv_body." + k.split(".", 1)[1]
-        elif k.startswith("upconv1."):
-            k = "conv_up1." + k.split(".", 1)[1]
-        elif k.startswith("upconv2."):
-            k = "conv_up2." + k.split(".", 1)[1]
-        elif k.startswith("HRconv."):
-            k = "conv_hr." + k.split(".", 1)[1]
-        out[k] = v
-    return out, style
+    keymap = {}
+    for s, orig in stripped:
+        if style == "kair":
+            if s.startswith("RRDB_trunk."):
+                parts = s.split(".")
+                s = ".".join(["body", parts[1], parts[2].lower(),
+                              *parts[3:]])
+            elif s.startswith("trunk_conv."):
+                s = "conv_body." + s.split(".", 1)[1]
+            elif s.startswith("upconv1."):
+                s = "conv_up1." + s.split(".", 1)[1]
+            elif s.startswith("upconv2."):
+                s = "conv_up2." + s.split(".", 1)[1]
+            elif s.startswith("HRconv."):
+                s = "conv_hr." + s.split(".", 1)[1]
+        keymap[s] = orig
+    return keymap, style
 
 
-def infer_esrgan_config(state: dict, style: str,
+def infer_esrgan_config(state: dict, keymap: dict, style: str,
                         scale: int | None = None) -> ESRGANConfig:
-    """Derive (nf, nb, gc, scale, n_up, unshuffle) from a canonicalized
-    state dict. ``scale`` overrides the inference where names alone are
-    ambiguous (KAIR .pth files: upconv2 exists but is unused at sf=2)."""
-    w_first = np.asarray(state["conv_first.weight"])
+    """Derive (nf, nb, gc, scale, n_up, unshuffle) from the checkpoint.
+    ``scale`` overrides the inference where names alone are ambiguous
+    (KAIR .pth files: upconv2 exists but is unused at sf=2)."""
+    w_first = np.asarray(state[keymap["conv_first.weight"]])
     nf, in_c = int(w_first.shape[0]), int(w_first.shape[1])
-    gc = int(np.asarray(state["body.0.rdb1.conv1.weight"]).shape[0])
-    nb = 1 + max(int(k.split(".")[1]) for k in state if k.startswith("body."))
+    gc = int(np.asarray(state[keymap["body.0.rdb1.conv1.weight"]]).shape[0])
+    nb = 1 + max(int(k.split(".")[1]) for k in keymap
+                 if k.startswith("body."))
     if style == "realesrgan":
         inferred = {3: 4, 12: 2, 48: 1}[in_c]
         if scale is not None and scale != inferred:
@@ -382,7 +389,7 @@ def infer_esrgan_config(state: dict, style: str,
     # applies only upconv1 (network_rrdbnet.py gates upconv2 on sf==4);
     # ONNX exports prune the unused upconv2 so presence tells the truth.
     if scale is None:
-        scale = 4 if "conv_up2.weight" in state else 2
+        scale = 4 if "conv_up2.weight" in keymap else 2
     if scale not in (2, 4):
         raise ValueError(f"BSRGAN-style checkpoints are x2/x4, got {scale}")
     return ESRGANConfig(nf=nf, nb=nb, gc=gc, scale=scale,
@@ -395,16 +402,14 @@ def convert_esrgan(state: dict,
     or the name-preserving ONNX export's initializer table — the format
     the reference actually ships, VisionDepth3D.py:1094-1100) ->
     (flax params, inferred ESRGANConfig). fp16 weights are upcast."""
-    state = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
-             for k, v in state.items()}
-    state, style = _canon_esrgan_state(state)
-    cfg = infer_esrgan_config(state, style, scale)
+    keymap, style = _canon_esrgan_keymap(state.keys())
+    cfg = infer_esrgan_config(state, keymap, style, scale)
 
     def conv(prefix):
         return {
-            "kernel": np.asarray(state[f"{prefix}.weight"], np.float32)
-            .transpose(2, 3, 1, 0),
-            "bias": np.asarray(state[f"{prefix}.bias"], np.float32),
+            "kernel": np.asarray(state[keymap[f"{prefix}.weight"]],
+                                 np.float32).transpose(2, 3, 1, 0),
+            "bias": np.asarray(state[keymap[f"{prefix}.bias"]], np.float32),
         }
 
     params = {
@@ -460,6 +465,15 @@ def convert_rrdbnet(state: dict, nb: int = 23) -> dict:
     if cfg.nb != nb:
         raise ValueError(f"checkpoint has nb={cfg.nb}, caller expected {nb}")
     return params
+
+
+def esrgan_apply(params: dict, img, scale: int = 4,
+                 cfg: ESRGANConfig | None = None) -> jnp.ndarray:
+    """One-shot upscale of a single [H, W, 3] float01 image (smoke tests /
+    verify-checkpoints). ``cfg`` defaults to the standard RRDBNet at the
+    given scale; pass the config from convert_esrgan for exact geometry."""
+    model = (cfg or ESRGANConfig(scale=scale)).build()
+    return model.apply({"params": params}, jnp.asarray(img)[None])[0]
 
 
 def blend_images(original: jnp.ndarray, upscaled: jnp.ndarray,

@@ -205,6 +205,19 @@ def interpolate_pairs(params, model: IFNet, frames01: jnp.ndarray,
     return jnp.stack(seq)
 
 
+def rife_apply(params_and_cfg, img0, img1, t: float = 0.5) -> jnp.ndarray:
+    """One-shot middle frame between two [H, W, 3] float01 images (smoke
+    tests / verify-checkpoints). Accepts the (params, IFNetConfig) pair
+    load_rife_weights returns, or a bare params tree (default config)."""
+    if isinstance(params_and_cfg, tuple):
+        params, cfg = params_and_cfg
+        model = cfg.build()
+    else:
+        params, model = params_and_cfg, IFNet()
+    return model.apply({"params": params},
+                       jnp.asarray(img0)[None], jnp.asarray(img1)[None], t)[0]
+
+
 # --------------------------------------------------------------------------
 # Weight conversion (torch state dicts and ONNX exports)
 # --------------------------------------------------------------------------

@@ -35,7 +35,10 @@ from ..ops.resize import resize_bilinear
 class DepthConfig:
     model: str = "depth-anything-v2-small"
     checkpoint: str | None = None
-    inference_size: int = 518
+    # square int, (h, w) rectangle, or None = source resolution (the
+    # reference's "Original" / rectangular catalog entries,
+    # render_depth.py:631-684); families snap per dimension
+    inference_size: int | tuple | None = 518
     batch_size: int = 8
     invert: bool = False
     bits: int = 8  # 8 -> video, 16 -> .vd16
@@ -71,6 +74,19 @@ class DepthConfig:
     # forces single-device. Frames are independent on the feed-forward
     # routes, so sharding the batch axis is exact — no seam semantics.
     mesh: str | None = "auto"
+
+
+def _size_h(size) -> int:
+    """Height of an inference-size spec (int -> itself)."""
+    return int(size[0]) if isinstance(size, (tuple, list)) else int(size)
+
+
+def _resolve_size(cfg: DepthConfig, src_hw: tuple[int, int]) -> "DepthConfig":
+    """Materialize inference_size=None ("Original") to the source frame
+    geometry; later per-family snapping takes it to a valid shape."""
+    if cfg.inference_size is not None:
+        return cfg
+    return dataclasses.replace(cfg, inference_size=tuple(src_hw))
 
 
 def _resolve_mesh(cfg: DepthConfig):
@@ -115,9 +131,9 @@ def make_depth_batch_fn(pred, cfg: DepthConfig, out_hw: tuple[int, int],
     if cfg.tiled:
         from ..ops.tiling import tiled_apply_batch
 
-        s = pred._size  # model tile resolution (snapped tile_size)
+        s = pred._size[0]  # model tile resolution (snapped square tile_size)
         hh, ww = out_hw
-        wh = max(s, int(cfg.inference_size))  # working height
+        wh = max(s, _size_h(cfg.inference_size))  # working height
         wwid = max(s, int(round(wh * ww / max(hh, 1))))
         ov = min(cfg.tile_overlap, s - 1)
 
@@ -178,6 +194,7 @@ def render_depth_video_file(
                                  progress_cb, predictor,
                                  cancel_check=cancel_check)
     rd = open_video(input_path)
+    cfg = _resolve_size(cfg, (rd.height, rd.width))
     if predictor is None and cfg.checkpoint is None:
         import warnings
 
@@ -329,11 +346,12 @@ def _render_depth_vda(input_path, output_path, cfg: DepthConfig,
     from ..depth.vda import _align_scale_shift
 
     rd = open_video(input_path)
+    cfg = _resolve_size(cfg, (rd.height, rd.width))
     pred = predictor or load_predictor(cfg.model, cfg.checkpoint,
-                                       cfg.inference_size)
+                                       _size_h(cfg.inference_size))
     win, ov = pred.cfg.window, max(1, pred.cfg.overlap)
     patch = pred.cfg.base.backbone.patch_size
-    s = snap(cfg.inference_size, patch)
+    s = snap(_size_h(cfg.inference_size), patch)
     pending_probe, top, bot = _bootstrap_letterbox(rd, cfg)
     ch = rd.height - top - bot
     out_hw = (ch, rd.width)
