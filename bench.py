@@ -112,16 +112,23 @@ def main():
     # dispatched warp/postfx backend, healing on, no parity quantization)
     # SSIM'd against the ACTUAL reference chain (render_3d.py:1261-1407,
     # torch CPU) on a synthetic clip. BASELINE.md acceptance: >= 0.99.
+    # Runs in a CPU-backend SUBPROCESS: the oracle comparison dispatches
+    # the un-jitted per-frame step eagerly, which through the TPU relay
+    # would take minutes/frame; the number is backend-independent.
     # Depth inference is excluded by construction (both sides consume the
     # same depth frames, matching the reference's video+depth contract).
     try:
-        from visiondepth3d_tpu.utils.refloop import worst_ssim_vs_reference
+        import os
+        import subprocess
+        import sys
 
-        qw = 448
-        qp = StereoParams(enable_healing=True, image_dtype="bfloat16",
-                          blur_ksize=7, dof_strength=1.5
-                          ).with_shift_bound(qw)
-        ssim_vs_ref = round(worst_ssim_vs_reference(qp, hw=(256, qw)), 4)
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+        out = subprocess.run(
+            [sys.executable, "-m", "visiondepth3d_tpu.utils.refloop"],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        ssim_vs_ref = json.loads(
+            out.stdout.strip().splitlines()[-1])["ssim_vs_ref"]
     except Exception:  # reference tree or torch unavailable on this host
         ssim_vs_ref = None
 

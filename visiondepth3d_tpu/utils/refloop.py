@@ -271,3 +271,30 @@ def worst_ssim_vs_reference(params, t: int = 6,
         sr = ssim(np.asarray(out.right, dtype=np.float32), ref_r)
         worst = min(worst, sl, sr)
     return worst
+
+
+def _main():
+    """CPU-subprocess entry for bench.py: measure the SHIPPED stereo
+    configuration's SSIM against the actual reference and print one JSON
+    line. Runs on the CPU backend — the un-jitted per-frame step dispatched
+    eagerly through the TPU relay would take minutes per frame, and the
+    number is backend-independent (the dispatched warp/postfx backends are
+    exercised on TPU by tests; hist/bf16/no-quantize numerics are the
+    configuration under test)."""
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..stereo import StereoParams
+
+    w = 448
+    p = StereoParams(enable_healing=True, image_dtype="bfloat16",
+                     blur_ksize=7, dof_strength=1.5).with_shift_bound(w)
+    print(json.dumps({"ssim_vs_ref": round(
+        worst_ssim_vs_reference(p, hw=(256, w)), 4)}))
+
+
+if __name__ == "__main__":
+    _main()
