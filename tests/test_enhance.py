@@ -515,3 +515,30 @@ def test_esrgan_catalog_names():
     for name, entry in ESRGAN_CATALOG.items():
         assert entry["file"].endswith(".onnx")
         assert entry["scale"] in (2, 4)
+
+
+def test_merged_pipeline_accepts_rife_tuple(tmp_path):
+    """CLI/serve pass load_rife_weights' (params, IFNetConfig) straight to
+    run_merged_pipeline; the pipeline must unpack it and build the net
+    from the checkpoint's own geometry (this path was broken before r5 —
+    the tuple went into rife.apply)."""
+    from visiondepth3d_tpu.enhance.rife import IFNetConfig
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+
+    src = tmp_path / "in.y4m"
+    t, h, w = 3, 32, 48
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            wr.write(np.full((h, w, 3), 40 * i + 40, np.uint8))
+    rcfg = IFNetConfig(cs=(8, 4), scales=(2, 1), n_res=2, tail_out=5)
+    model = rcfg.build()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3)), jnp.zeros((1, 32, 48, 3))
+                        )["params"]
+    cfg = EnhanceConfig(use_esrgan=False, use_rife=True, fps_multiplier=2,
+                        chunk_size=2, allow_random_weights=True)
+    dst = tmp_path / "out.y4m"
+    n = run_merged_pipeline(src, dst, cfg, rife_params=(params, rcfg))
+    assert n == (t - 1) * 2 + 1
+    with Y4MReader(dst) as rd:
+        assert len(list(rd)) == n

@@ -98,7 +98,14 @@ def make_enhance_fn(cfg: EnhanceConfig, esrgan_params, rife_params,
     esrgan = RRDBNet(cfg.esrgan_nf, cfg.esrgan_nb, cfg.esrgan_gc,
                      scale=cfg.esrgan_scale, n_up=cfg.esrgan_n_up,
                      unshuffle=cfg.esrgan_unshuffle)
-    rife = IFNet(scales=cfg.rife_scales)
+    # load_rife_weights returns (params, IFNetConfig) — the config carries
+    # the checkpoint's true geometry (variant-detected scales/res blocks)
+    # and overrides cfg.rife_scales
+    if isinstance(rife_params, tuple):
+        rife_params, rife_cfg = rife_params
+        rife = rife_cfg.build()
+    else:
+        rife = IFNet(scales=cfg.rife_scales)
     h, w = in_hw
     # device-resident once: closed-over host params would re-transfer on
     # every chunk call (see DepthPredictor.__post_init__)
