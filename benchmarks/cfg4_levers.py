@@ -43,7 +43,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/vd3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from visiondepth3d_tpu.enhance import EnhanceConfig, init_enhance_params
+    from visiondepth3d_tpu.enhance import EnhanceConfig
     from visiondepth3d_tpu.enhance.esrgan import (
         RRDBNet,
         apply_rrdbnet_staged,
@@ -54,12 +54,16 @@ def main():
     rng = np.random.default_rng(0)
     frames = jax.device_put((rng.random((T, H, W, 3)) * 255).astype(np.uint8))
 
+    from visiondepth3d_tpu.depth.model import init_random_model
+
     def run_case(nb: int, half: bool, iters: int = 2):
         cfg = EnhanceConfig(esrgan_nb=nb)
-        ep, _ = init_enhance_params(cfg)
-        ep = jax.device_put(jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16), ep))
         esrgan = RRDBNet(cfg.esrgan_nf, nb, scale=4)
+        # host-side init (on-device init of a 23-block trunk is the
+        # documented relay-killer)
+        ep = init_random_model(esrgan, (1, 16, 16, 3))
+        ep = jax.device_put(jax.tree.map(
+            lambda p: jnp.asarray(p, jnp.bfloat16), ep))
 
         @jax.jit
         def pipe(acc0, ep, fu8):

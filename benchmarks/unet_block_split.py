@@ -65,10 +65,16 @@ def main():
 
     def bench(mod, shape, *extra, label):
         x0 = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p,
-            mod.init(key, x0, *extra)["params"])
+        # host-side init: mod.init would compile + run the init graph on
+        # the accelerator through the relay (the documented relay-killer
+        # for big modules — see verify skill notes)
+        from visiondepth3d_tpu.depth.model import init_random_model_args
+
+        specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in
+                      (x0, *extra))
+        params = init_random_model_args(mod, specs)
+        params = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16)
+                              if p.dtype == np.float32 else p, params)
         params = jax.device_put(params)
 
         @jax.jit
