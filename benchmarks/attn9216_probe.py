@@ -48,25 +48,45 @@ def main():
     v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
     sm = 1.0 / math.sqrt(D)
 
-    def timed(label, fn, iters=6):
-        f = jax.jit(fn)
-        x = f(q, k, v)
-        x.block_until_ready()
-        # carry-chain via input perturbation + host fence
+    def timed(label, fn, inner=8, iters=2):
+        """Loop INSIDE one jit (fori_loop, carry-chained q) and fetch one
+        scalar per launch — per-iteration host fetches through the relay
+        would otherwise dominate (~100 ms+ latency each)."""
+
+        @jax.jit
+        def run(acc0, q0, k, v):
+            def body(_, carry):
+                qq, acc = carry
+                out = fn(qq, k, v)
+                acc = acc + jnp.sum(out[0, 0, 0].astype(jnp.float32))
+                qq = qq + (acc % 2).astype(qq.dtype) * jnp.bfloat16(1e-6)
+                return (qq, acc)
+
+            qq, acc = jax.lax.fori_loop(0, inner, body, (q0, acc0))
+            return acc
+
+        acc = run(jnp.float32(0), q, k, v)
+        _ = float(acc)
         t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(iters):
-            x = f(q + jnp.bfloat16(acc * 1e-6), k, v)
-            acc = float(jnp.sum(x[0, 0, 0].astype(jnp.float32)))
-        dt = (time.perf_counter() - t0) / iters * 1000
+        for _ in range(iters):
+            acc = run(acc, q, k, v)
+        _ = float(acc)
+        dt = (time.perf_counter() - t0) / (iters * inner) * 1000
         print(json.dumps({"variant": label, "ms": round(dt, 2)}), flush=True)
         return dt
 
     gold = None
 
     def check(fn):
+        """Compare a strided slice only — fetching the full [5,5,9216,64]
+        output is ~59 MB per variant through the ~30 MB/s relay."""
         nonlocal gold
-        out = np.asarray(jax.jit(fn)(q, k, v), np.float32)
+
+        @jax.jit
+        def probe(q, k, v):
+            return fn(q, k, v)[0, :, ::256, :].astype(jnp.float32)
+
+        out = np.asarray(probe(q, k, v))
         if gold is None:
             gold = out
         else:

@@ -95,6 +95,7 @@ def _pad_len(n: int) -> int:
 # the axon relay's compile service (same workaround as ops/pallas_warp.py)
 def _flash_nhd(q, k, v):  # [B, H, N, D] each
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
@@ -103,13 +104,26 @@ def _flash_nhd(q, k, v):  # [B, H, N, D] each
     np_ = _pad_len(n)
     pad = [(0, 0), (0, 0), (0, np_ - n), (0, 0)]
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    ids = (jnp.arange(np_) < n).astype(jnp.int32)[None, :]  # [1, Np]
-    ids = jnp.broadcast_to(ids, (b, np_))
-    out = flash_attention(
-        qp, kp, vp,
-        segment_ids=SegmentIds(q=ids, kv=ids),
-        sm_scale=1.0 / math.sqrt(d),
-    )
+    # The kernel's DEFAULT BlockSizes are 128^3 — at the diffusion UNet's
+    # level-0 shape ([5, 5, 9216, 64]) that is a 72x72 grid of 128x64x128
+    # matmul pairs per (b, h): MXU underfill + grid overhead, measured
+    # 65 ms/layer. 1024-blocks measure 9.95 ms (6.5x); 512 when 1024
+    # doesn't divide; >=2304 overflows VMEM (benchmarks/attn9216_probe.py).
+    blk = 1024 if np_ % 1024 == 0 else 512
+    bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1)
+    if np_ == n:
+        # unpadded: SegmentIds would be an all-ones mask (pure overhead)
+        out = flash_attention(qp, kp, vp, sm_scale=1.0 / math.sqrt(d),
+                              block_sizes=bs)
+    else:
+        ids = (jnp.arange(np_) < n).astype(jnp.int32)[None, :]  # [1, Np]
+        ids = jnp.broadcast_to(ids, (b, np_))
+        out = flash_attention(
+            qp, kp, vp,
+            segment_ids=SegmentIds(q=ids, kv=ids),
+            sm_scale=1.0 / math.sqrt(d),
+            block_sizes=bs,
+        )
     return out[:, :, :n, :]
 
 
