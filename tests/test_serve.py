@@ -271,3 +271,17 @@ def test_pipeline_cancel_checks(tmp_path):
     assert 0 < nd < 10
     with Y4MReader(dout) as rd:
         assert len(list(rd)) == nd
+
+
+def test_serve_coerces_inference_size_specs():
+    """The depth form accepts the same size spec language as the CLI:
+    square ints, WxH rectangles, named presets."""
+    from visiondepth3d_tpu.pipeline.depth_pipeline import DepthConfig
+    from visiondepth3d_tpu.serve.app import coerce_params
+
+    assert coerce_params(DepthConfig, {"inference_size": "518"}) == {
+        "inference_size": 518}
+    assert coerce_params(DepthConfig, {"inference_size": "1024x576"}) == {
+        "inference_size": (576, 1024)}
+    assert coerce_params(DepthConfig, {"inference_size": "dc-max-quality"}
+                         ) == {"inference_size": (576, 1024)}

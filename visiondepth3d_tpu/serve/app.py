@@ -79,6 +79,12 @@ def coerce_params(cls, params: dict) -> dict:
         if kind == "bool":
             out[k] = v if isinstance(v, bool) else (
                 str(v).lower() in ("1", "true", "yes", "on"))
+        elif k == "inference_size":
+            # square int, "WxH" rectangle, or a named preset — the same
+            # spec language as the CLI (registry.parse_inference_size)
+            from ..depth.registry import parse_inference_size
+
+            out[k] = parse_inference_size(v)
         elif kind == "int":
             out[k] = int(v)
         elif kind == "float":
