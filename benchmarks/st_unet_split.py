@@ -39,7 +39,6 @@ def main():
         TransformerLayer,
         UNetSTConfig,
     )
-    from visiondepth3d_tpu.depth.model import init_random_model_args
 
     cfg = UNetSTConfig()
     T = 24
@@ -50,7 +49,17 @@ def main():
     def timed(label, mod, args, static=(), inner=4, iters=3):
         specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
                       if a is not None else None for a in args)
-        params = init_random_model_args(mod, specs + tuple(static))
+        # host-side init with the static ints bound OUTSIDE eval_shape
+        # (traced ints would flow into reshape shapes)
+        shapes = jax.eval_shape(
+            lambda rng, *a: mod.init(rng, *a, *static),
+            jax.random.PRNGKey(0), *specs)["params"]
+        host_rng = np.random.default_rng(0)
+        params = jax.tree.map(
+            lambda s: host_rng.normal(
+                0.0, max(s.shape[0] if s.ndim >= 2 else s.size, 1) ** -0.5,
+                s.shape).astype(np.float32),
+            shapes)
         params = jax.device_put(jax.tree.map(
             lambda p: jnp.asarray(p, jnp.bfloat16), params))
 

@@ -267,3 +267,28 @@ def test_depthcrafter_reference_degenerate_geometry(rng):
     d_short = pipe(rng.random((4, 16, 16, 3), dtype="float32"))
     assert d_short.shape == (4, 16, 16)
     assert pipe._windows(4) == [0]
+
+
+def test_geglu_ff_is_sd_width():
+    """SD transformer FF: GEGLU projects to 2*(4c) and gates to 4c
+    (diffusers FeedForward mult=4, activation geglu). A narrower FF still
+    RUNS with converted checkpoints (flax adopts the loaded kernel
+    shapes) but silently changes the random-init architecture and every
+    FLOP-identical benchmark claim — pin the init shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondepth3d_tpu.depth.diffusion.unet2d import TransformerBlock
+    from visiondepth3d_tpu.depth.diffusion.unet_st import TransformerLayer
+
+    c = 32
+    p = TransformerBlock(2, 16).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, c)), jnp.zeros((1, 4, c))
+    )["params"]
+    assert p["ff_geglu"]["proj"]["kernel"].shape == (c, 8 * c)
+    assert p["ff_out"]["kernel"].shape == (4 * c, c)
+
+    pt = TransformerLayer(2, 16).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, c)), None)["params"]
+    assert pt["ff_geglu"]["proj"]["kernel"].shape == (c, 8 * c)
+    assert pt["ff_out"]["kernel"].shape == (4 * c, c)

@@ -106,11 +106,19 @@ class CrossAttention(nn.Module):
 
 
 class GEGLU(nn.Module):
-    out_dim: int
+    """Gated-GELU feed-forward head (diffusers FeedForward geglu):
+    projects to ``2 * inner_dim``, gates -> ``inner_dim``. SD transformer
+    blocks use inner_dim = 4 * c. (r5 fix: the previous ``out_dim * 8``
+    with ``c // 2`` call sites built a HALF-width FF on random init —
+    converted checkpoints were unaffected because flax adopts the loaded
+    kernel shapes, but benchmarks under-counted the FF and param counts
+    read 791M instead of SD2's ~865M.)"""
+
+    inner_dim: int
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.out_dim * 8, name="proj")(x)
+        h = nn.Dense(self.inner_dim * 2, name="proj")(x)
         a, b = jnp.split(h, 2, axis=-1)
         return a * jax.nn.gelu(b)
 
@@ -128,7 +136,7 @@ class TransformerBlock(nn.Module):
             nn.LayerNorm(name="norm2")(x), ctx
         )
         h = nn.LayerNorm(name="norm3")(x)
-        h = GEGLU(x.shape[-1] // 2, name="ff_geglu")(h)
+        h = GEGLU(x.shape[-1] * 4, name="ff_geglu")(h)
         x = x + nn.Dense(x.shape[-1], name="ff_out")(h)
         return x
 

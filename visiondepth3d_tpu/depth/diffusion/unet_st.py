@@ -139,7 +139,7 @@ class TransformerLayer(nn.Module):
         x = x + CrossAttention(self.heads, self.head_dim, name="attn2")(
             nn.LayerNorm(name="norm2")(x), ctx
         )
-        h = GEGLU(x.shape[-1] // 2, name="ff_geglu")(nn.LayerNorm(name="norm3")(x))
+        h = GEGLU(x.shape[-1] * 4, name="ff_geglu")(nn.LayerNorm(name="norm3")(x))
         return x + nn.Dense(x.shape[-1], name="ff_out")(h)
 
 
