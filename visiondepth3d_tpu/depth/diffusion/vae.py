@@ -66,10 +66,15 @@ class AttnBlock(nn.Module):
         q = nn.Dense(c, name="q")(y)
         k = nn.Dense(c, name="k")(y)
         v = nn.Dense(c, name="v")(y)
-        att = jax.nn.softmax(
-            jnp.einsum("bic,bjc->bij", q, k) / jnp.sqrt(c).astype(x.dtype), axis=-1
-        )
-        y = jnp.einsum("bij,bjc->bic", att, v)
+        # single-head attention through the dispatcher: at the 768² mid
+        # block (9216 tokens) the naive einsum materializes a [N, N] f32
+        # logits tensor (340 MB); the tuned flash path is slightly faster
+        # (3.17 vs 3.64 ms, benchmarks/vae_decode_split.py) and O(N) memory
+        from ...ops.attention import multi_head_attention
+
+        y = multi_head_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        ).reshape(b, h * w, c)
         y = nn.Dense(c, name="proj")(y).reshape(b, h, w, c)
         return x + y
 
