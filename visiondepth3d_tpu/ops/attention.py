@@ -41,9 +41,15 @@ USE_SPLASH = False
 # [32,1025,16,64] — a loss. Attention at these shapes is floored by f32
 # VPU exp (~2.2 ms per 32-frame layer), which every exact implementation
 # pays; removing the logits HBM traffic buys nothing once XLA overlaps it.
-# Kept as an opt-in backend (and the groundwork for chips with native
-# bf16 EUP transcendentals, where the balance flips).
+# r5 re-measurement (benchmarks/vit_attn_retune.py): in ISOLATION the
+# kernel now wins 19% at [32, 1370, 6, 64] (93.0 vs 114.5 us/frame/layer
+# bf16-softmax; tuned flash 109.4) — but flipping it on e2e measured the
+# headline at 184.0 fps vs 187.2 with bf16-softmax (bench.py, same day):
+# inside the fused chunk graph XLA overlaps the logits traffic the kernel
+# saves, and the isolated win does not transfer. Same conclusion as r2,
+# now re-verified against the improved kernel. Stays opt-in.
 USE_VMEM_KERNEL = False
+_VMEM_MAX_HEADS = 8  # few-head gate when the kernel is opted in
 
 _FLASH_MIN_SEQ = 512  # below this, logits fit in VMEM and XLA fusion wins
 _BLOCK = 512  # the kernel's default major block; pad seq to a multiple
@@ -160,7 +166,7 @@ def multi_head_attention(q, k, v):
         if n >= _FLASH_ALWAYS_SEQ:
             t = lambda x: jnp.swapaxes(x, 1, 2)  # BNHD -> BHND
             return t(_flash_nhd(t(q), t(k), t(v)))
-        if USE_VMEM_KERNEL:
+        if USE_VMEM_KERNEL and q.shape[2] <= _VMEM_MAX_HEADS:
             from .pallas_attention import MAX_RESIDENT_SEQ, vmem_attention
 
             if n <= MAX_RESIDENT_SEQ:
