@@ -98,7 +98,13 @@ def main():
     trackers, checksum = pipeline(pred.params, trackers, frames)
     _ = int(checksum)
 
-    iters = 3
+    # second warm launch: the first timed launch after compile occasionally
+    # carries residual relay latency (observed 184-190 run spread at 3
+    # iters); a second warm-up plus 5 timed iters tightens it
+    trackers, checksum = pipeline(pred.params, trackers, frames)
+    _ = int(checksum)
+
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         trackers, checksum = pipeline(pred.params, trackers, frames)
