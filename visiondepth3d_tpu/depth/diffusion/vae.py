@@ -119,7 +119,13 @@ class Decoder(nn.Module):
                 h = ResnetBlock(ch, cfg.norm_groups, name=f"up{i}_res{j}")(h)
             if i < len(chans) - 1:
                 b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+                # 2x nearest as broadcast+reshape: exact; measured a WASH
+                # vs jax.image.resize (51.8 vs 51.6 ms whole-decode A/B —
+                # XLA handles the 2x nearest gather fine); kept for
+                # consistency with the esrgan upsample style
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (b, hh, 2, ww, 2, c)
+                                     ).reshape(b, hh * 2, ww * 2, c)
                 h = _conv(ch, f"up{i}_upsample")(h)
         h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, name="norm_out")(h)
         h = jax.nn.silu(h)
