@@ -158,9 +158,16 @@ class STTransformer(nn.Module):
         y = nn.GroupNorm(self.groups, epsilon=1e-6, name="norm")(x)
         y = nn.Dense(c, name="proj_in")(y.reshape(bt, h * w, c))
         y = TransformerLayer(self.heads, self.head_dim, name="spatial")(y, ctx)
-        # temporal attention: tokens are the T frames at each position
+        # temporal attention: tokens are the T frames at each position.
+        # Its attn2 CROSS-attends to the first frame's CLIP context
+        # broadcast per spatial position (diffusers
+        # TransformerSpatioTemporalModel's time_context_first_timestep) —
+        # self-attention here would both diverge from SVD semantics and
+        # crash on converted weights (to_k expects the 1024-dim context).
         z = y.reshape(b, t, h * w, c).transpose(0, 2, 1, 3).reshape(b * h * w, t, c)
-        z = TransformerLayer(self.heads, self.head_dim, name="temporal")(z, None)
+        tctx = ctx.reshape(b, t, *ctx.shape[1:])[:, 0]  # [b, L, D]
+        tctx = jnp.repeat(tctx, h * w, axis=0)  # [b*h*w, L, D]
+        z = TransformerLayer(self.heads, self.head_dim, name="temporal")(z, tctx)
         z = z.reshape(b, h * w, t, c).transpose(0, 2, 1, 3).reshape(bt, h * w, c)
         y = AlphaBlender(name="mix")(y, z)
         y = nn.Dense(c, name="proj_out")(y).reshape(bt, h, w, c)
