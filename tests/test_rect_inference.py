@@ -132,3 +132,37 @@ def test_depth_route_original_size(tmp_path):
     cfg = cfg_cls.DepthConfig(inference_size=None)
     resolved = cfg_cls._resolve_size(cfg, (36, 64))
     assert resolved.inference_size == (36, 64)
+
+
+@pytest.mark.parametrize("name,cfg_path,size", [
+    ("dpt-large", "visiondepth3d_tpu.depth.dpt_classic:DPT_TINY", (48, 96)),
+    ("dpt-beit-large-512",
+     "visiondepth3d_tpu.depth.dpt_beit:DPT_BEIT_TINY", (48, 96)),
+    ("midas-v3-hybrid",
+     "visiondepth3d_tpu.depth.dpt_hybrid:DPT_HYBRID_TINY", (64, 96)),
+    ("midas-v2", "visiondepth3d_tpu.depth.midas_v2:MIDAS_V2_TINY", (64, 96)),
+    ("zoedepth-nyu", None, None),  # zoedepth tiny config not exported
+])
+def test_family_rect_smoke(name, cfg_path, size):
+    """Every feed-forward family that supports rectangles must load and
+    run at a non-square inference size (per-family snap paths)."""
+    if cfg_path is None:
+        pytest.skip("no tiny config exported for this family")
+    mod_name, attr = cfg_path.split(":")
+    import importlib
+
+    cfg = getattr(importlib.import_module(mod_name), attr)
+    pred = load_predictor(name, config=cfg, inference_size=size)
+    frames = np.random.default_rng(0).random((1, 40, 72, 3),
+                                             dtype=np.float32)
+    d = pred.predict_01(frames, out_hw=(40, 72))
+    assert d.shape == (1, 40, 72)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_square_only_families_refuse_rect():
+    from visiondepth3d_tpu.depth.depth_pro import DepthProConfig
+
+    with pytest.raises(ValueError, match="square"):
+        load_predictor("depth-pro", config=DepthProConfig(),
+                       inference_size=(512, 768))
