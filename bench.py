@@ -123,20 +123,30 @@ def main():
     # would take minutes/frame; the number is backend-independent.
     # Depth inference is excluded by construction (both sides consume the
     # same depth frames, matching the reference's video+depth contract).
-    try:
-        import os
-        import subprocess
-        import sys
+    import os
+    import subprocess
+    import sys
 
+    if not os.path.exists("/root/reference/core/render_3d.py"):
+        ssim_vs_ref = None  # no reference tree on this host
+    else:
         env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
         out = subprocess.run(
             [sys.executable, "-m", "visiondepth3d_tpu.utils.refloop"],
             capture_output=True, text=True, timeout=1800, env=env,
         )
-        ssim_vs_ref = json.loads(
-            out.stdout.strip().splitlines()[-1])["ssim_vs_ref"]
-    except Exception:  # reference tree or torch unavailable on this host
-        ssim_vs_ref = None
+        try:
+            if out.returncode != 0:
+                raise RuntimeError(f"refloop rc={out.returncode}")
+            ssim_vs_ref = json.loads(
+                out.stdout.strip().splitlines()[-1])["ssim_vs_ref"]
+        except Exception as e:  # noqa: BLE001
+            # A BROKEN oracle must look different from an absent one:
+            # surface the failure on stderr, keep the fps line intact.
+            print(f"ssim_vs_ref FAILED ({e}); refloop stderr tail:\n"
+                  + "\n".join(out.stderr.splitlines()[-8:]),
+                  file=sys.stderr)
+            ssim_vs_ref = "error"
 
     print(
         json.dumps(

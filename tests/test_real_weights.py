@@ -79,20 +79,11 @@ class RecordingState(dict):
         return super().pop(k, *default)
 
 
-def _ground_plane_scene(h=210, w=280):
-    """Textured perspective scene: floor in the lower half (near), sky in
-    the upper (far). Any real monocular depth model orders these."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    img = np.zeros((h, w, 3), np.float32)
-    horizon = h * 2 // 5
-    img[:horizon] = [0.55, 0.7, 0.9]  # sky
-    # checkered floor with perspective-scaled tiling
-    t = (yy - horizon).clip(min=1) / (h - horizon)
-    tile = ((np.sin(xx / (3 + 30 * t)) > 0) ^ (np.sin(yy / 6.0) > 0))
-    floor = np.where(tile, 0.65, 0.35).astype(np.float32)
-    for c, base in enumerate((0.8, 0.6, 0.45)):
-        img[horizon:, :, c] = floor[horizon:] * base
-    return img[None]  # [1, H, W, 3]
+# single source of truth for the synthetic perspective scene: the CLI
+# verify harness and this pytest harness must judge the SAME input
+from visiondepth3d_tpu.utils.verify_checkpoints import (  # noqa: E402
+    ground_plane_scene as _ground_plane_scene,
+)
 
 
 def _check_depth_sanity(pred, invert_ok=True):

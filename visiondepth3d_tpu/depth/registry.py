@@ -174,7 +174,7 @@ def load_predictor(name: str, checkpoint=None,
         # (render_depth.py:832-954 run_onnx analog)
         from .onnx_exec import OnnxDepthPredictor
 
-        if rect:
+        if rect or inference_size is None:
             raise ValueError("onnx: graphs run at square sizes; pass an int")
         return OnnxDepthPredictor(name[len("onnx:"):], inference_size)
     if name.startswith("local:"):
@@ -189,6 +189,9 @@ def load_predictor(name: str, checkpoint=None,
             # (reference [Local] discovery, render_depth.py:716-724)
             from .onnx_exec import OnnxDepthPredictor
 
+            if rect or inference_size is None:
+                raise ValueError(
+                    "local: ONNX graphs run at square sizes; pass an int")
             return OnnxDepthPredictor(onnx_path, inference_size)
         entry = resolve_local_model(root)
         if checkpoint is None:

@@ -347,11 +347,20 @@ def _render_depth_vda(input_path, output_path, cfg: DepthConfig,
 
     rd = open_video(input_path)
     cfg = _resolve_size(cfg, (rd.height, rd.width))
-    pred = predictor or load_predictor(cfg.model, cfg.checkpoint,
-                                       _size_h(cfg.inference_size))
+    size = cfg.inference_size
+    if isinstance(size, (tuple, list)):
+        if size[0] != size[1]:
+            # mirror load_predictor's refusal instead of silently running
+            # a square inference the user did not ask for ('original' on a
+            # non-square source lands here too)
+            raise ValueError(
+                "video-depth-anything runs its windowed pipeline at a "
+                "square size; pass an int --inference-size")
+        size = int(size[0])
+    pred = predictor or load_predictor(cfg.model, cfg.checkpoint, size)
     win, ov = pred.cfg.window, max(1, pred.cfg.overlap)
     patch = pred.cfg.base.backbone.patch_size
-    s = snap(_size_h(cfg.inference_size), patch)
+    s = snap(size, patch)
     pending_probe, top, bot = _bootstrap_letterbox(rd, cfg)
     ch = rd.height - top - bot
     out_hw = (ch, rd.width)

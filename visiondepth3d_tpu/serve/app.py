@@ -134,7 +134,14 @@ def _run_render(job: Job) -> str:
             raise ValueError(t("error.fused_needs_checkpoint"))
         kw = {}
         if p.get("inference_size"):
-            kw["inference_size"] = int(p["inference_size"])
+            # same spec language as the CLI and the depth tab (WxH /
+            # named preset / int); RenderConfig has no inference_size
+            # field so coerce_params never normalizes it on this route
+            from ..depth.registry import parse_inference_size
+
+            size = parse_inference_size(p["inference_size"])
+            if size is not None:
+                kw["inference_size"] = size
         predictor = load_predictor(
             p.get("model", "depth-anything-v2-small"),
             p.get("checkpoint") or None, **kw)
@@ -184,8 +191,13 @@ def _run_tools(job: Job) -> str:
 
         from ..enhance import load_esrgan_weights
 
-        esrgan_params, ecfg = load_esrgan_weights(
-            p["esrgan_weights"], scale=p.get("esrgan_scale"))
+        # scale=None: geometry is inferred from the checkpoint. The form
+        # posts every field as a string with the schema default pre-filled
+        # ("4"), so an explicit override cannot be told apart from the
+        # untouched default — and "4" would hard-fail a valid x2plus
+        # checkpoint. Ambiguous KAIR .pth files (unused upconv2) need the
+        # CLI's --esrgan-scale.
+        esrgan_params, ecfg = load_esrgan_weights(p["esrgan_weights"])
         cfg = _dc.replace(
             cfg, esrgan_nf=ecfg.nf, esrgan_nb=ecfg.nb, esrgan_gc=ecfg.gc,
             esrgan_scale=ecfg.scale, esrgan_n_up=ecfg.n_up,
