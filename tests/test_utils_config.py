@@ -233,3 +233,31 @@ def test_make_control_check(tmp_path):
     ctl.write_text("run")
     th.join(timeout=2.0)
     assert released == [False]       # resumed, not cancelled
+
+
+def test_parse_timecode_reference_semantics():
+    """render_3d.py:77-97 parity: HH:MM:SS / MM:SS / SS with optional .ms;
+    blank or unparseable -> None; numbers pass through."""
+    from visiondepth3d_tpu.pipeline.geometry import parse_timecode as P
+
+    assert P("01:02:03") == 3723.0
+    assert P("02:03.5") == 123.5
+    assert P("90") == 90.0
+    assert P("90.25") == 90.25
+    assert P("") is None and P(None) is None and P("  ") is None
+    assert P("nonsense") is None
+    assert P(12.5) == 12.5
+
+
+def test_resolve_clip_window_duration_semantics():
+    """VisionDepth3D.py:1589-1594 parity: end <= start means end is a
+    DURATION; degenerate windows get a 1 ms guard."""
+    from visiondepth3d_tpu.pipeline.geometry import resolve_clip_window as R
+
+    assert R("00:52:26", "00:00:30") == (3146.0, 3176.0)
+    assert R(10.0, 40.0) == (10.0, 40.0)  # normal window untouched
+    assert R(10.0, 5.0) == (10.0, 15.0)  # duration
+    s, e = R(10.0, 0.0)
+    assert s == 10.0 and e == pytest.approx(10.001)
+    assert R(None, 30.0) == (None, 30.0)
+    assert R(5.0, None) == (5.0, None)

@@ -100,8 +100,12 @@ def _build_render_parser(sub):
     p.add_argument("--codec", default="libx264")
     p.add_argument("--crf", type=int, default=23)
     p.add_argument("--fps", type=float, default=None)
-    p.add_argument("--start", type=float, default=None, help="clip start (s)")
-    p.add_argument("--end", type=float, default=None, help="clip end (s)")
+    p.add_argument("--start", default=None,
+                   help="clip start: seconds or HH:MM:SS(.ms)")
+    p.add_argument("--end", default=None,
+                   help="clip end: seconds or HH:MM:SS(.ms); a value <= "
+                        "start is treated as a DURATION (reference "
+                        "semantics)")
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--skip-blank-frames", action="store_true")
     p.add_argument("--auto-crop-black-bars", action="store_true")
@@ -145,6 +149,9 @@ def cmd_render(args) -> int:
     if overrides:
         params = params.replace(**overrides)
 
+    from ..pipeline.geometry import resolve_clip_window
+
+    start_s, end_s = resolve_clip_window(args.start, args.end)
     cfg = dataclasses.replace(
         cfg,
         output_format=args.format,
@@ -154,8 +161,8 @@ def cmd_render(args) -> int:
         codec=args.codec,
         crf=args.crf,
         fps=args.fps,
-        start_s=args.start,
-        end_s=args.end,
+        start_s=start_s,
+        end_s=end_s,
         chunk_size=args.chunk_size,
         skip_blank_frames=args.skip_blank_frames,
         auto_crop_black_bars=args.auto_crop_black_bars,

@@ -31,6 +31,46 @@ ASPECT_RATIOS = {
 }
 
 
+def parse_timecode(s) -> float | None:
+    """'HH:MM:SS', 'MM:SS' or 'SS' (each part may carry '.ms') -> seconds.
+
+    Spec: the reference's parse_timecode (render_3d.py:77-97) — blank or
+    unparseable input returns None (numbers pass through).
+    """
+    if s is None:
+        return None
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip()
+    if not s:
+        return None
+    parts = s.split(":")
+    try:
+        if len(parts) == 3:
+            return (float(parts[0]) * 3600 + float(parts[1]) * 60
+                    + float(parts[2]))
+        if len(parts) == 2:
+            return float(parts[0]) * 60 + float(parts[1])
+        return float(s)
+    except ValueError:
+        return None
+
+
+def resolve_clip_window(start_s, end_s) -> tuple[float | None, float | None]:
+    """Reference clip-window semantics (handle_generate_3d,
+    VisionDepth3D.py:1589-1594): accepts seconds or timecode strings;
+    ``end <= start`` means END IS A DURATION (Start=00:52:26, End=00:00:30
+    renders 30 seconds); a still-degenerate window gets a 1 ms guard."""
+    start = parse_timecode(start_s)
+    end = parse_timecode(end_s)
+    if start is not None and end is not None:
+        if end <= start:
+            end = start + end
+        if end <= start:
+            end = start + 0.001
+    return start, end
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderGeometry:
     src_w: int

@@ -85,6 +85,11 @@ def coerce_params(cls, params: dict) -> dict:
             from ..depth.registry import parse_inference_size
 
             out[k] = parse_inference_size(v)
+        elif k in ("start_s", "end_s"):
+            # seconds or HH:MM:SS(.ms) timecode, like the reference GUI
+            from ..pipeline.geometry import parse_timecode
+
+            out[k] = parse_timecode(v)
         elif kind == "int":
             out[k] = int(v)
         elif kind == "float":
@@ -119,6 +124,11 @@ def _run_render(job: Job) -> str:
     if overrides:
         params = params.replace(**overrides)
     cfg = dataclasses.replace(cfg, **coerce_params(RenderConfig, p))
+    if cfg.start_s is not None or cfg.end_s is not None:
+        from ..pipeline.geometry import resolve_clip_window
+
+        start_s, end_s = resolve_clip_window(cfg.start_s, cfg.end_s)
+        cfg = dataclasses.replace(cfg, start_s=start_s, end_s=end_s)
 
     inp = p["input"]
     depth = p.get("depth") or None
