@@ -393,3 +393,69 @@ def test_render_device_yuv_in_matches_host_decode(tmp_path):
         with Y4MReader(out) as rd:
             outs[flag] = np.stack(list(rd))
     assert np.array_equal(outs[True], outs[False])
+
+
+def test_native_y4m_clip_window(tmp_path):
+    """Clip windows on plain .y4m need no ffmpeg: the C reader seeks by
+    fixed-size record index (frames are counted, not timestamp-guessed)."""
+    from visiondepth3d_tpu.io import Y4MWriter
+    from visiondepth3d_tpu.io.video import open_video
+
+    src = tmp_path / "in.y4m"
+    t, h, w = 12, 24, 32
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            wr.write(np.full((h, w, 3), i * 10, np.uint8))
+
+    rd = open_video(src, start_s=0.25, end_s=0.375)  # frames 6..8
+    frames = []
+    while True:
+        f = rd.read()
+        if f is None:
+            break
+        frames.append(int(f[0, 0, 0]))
+    rd.close()
+    # YUV420 round-trip costs ~1 u8 step; the ORDER/offset is the test
+    assert len(frames) == 3
+    assert all(abs(a - b) <= 2 for a, b in zip(frames, (60, 70, 80)))
+
+    # start only: runs to EOF
+    rd = open_video(src, start_s=10 / 24.0)
+    n = 0
+    while rd.read() is not None:
+        n += 1
+    rd.close()
+    assert n == 2
+
+
+def test_render_clip_window_native(tmp_path):
+    """vd3d render --start/--end end-to-end without ffmpeg."""
+    from visiondepth3d_tpu.io import Y4MReader, Y4MWriter
+    from visiondepth3d_tpu.pipeline.stereo_pipeline import (
+        RenderConfig,
+        render_stereo_video,
+    )
+    from visiondepth3d_tpu.stereo import StereoParams
+
+    t, h, w = 10, 48, 64
+    src, dep = tmp_path / "c.y4m", tmp_path / "d.y4m"
+    with Y4MWriter(src, w, h, 24.0) as wr:
+        for i in range(t):
+            yy, xx = np.mgrid[0:h, 0:w]
+            wr.write(np.repeat(((xx + i) % 256).astype(np.uint8)[..., None],
+                               3, -1))
+    with Y4MWriter(dep, w, h, 24.0) as wr:
+        for i in range(t):
+            _, xx = np.mgrid[0:h, 0:w]
+            wr.write(np.repeat((xx * 3 % 256).astype(np.uint8)[..., None],
+                               3, -1))
+    out = tmp_path / "o.y4m"
+    cfg = RenderConfig(output_format="Half-SBS", output_height=h,
+                       preserve_original_aspect=True, chunk_size=3,
+                       checkpoint_every_chunks=0, mesh="off",
+                       start_s=4 / 24.0, end_s=9 / 24.0)
+    prog = render_stereo_video(src, dep, out, StereoParams(blur_ksize=3),
+                               cfg)
+    assert prog.frames_done == 5
+    with Y4MReader(out) as rd:
+        assert sum(1 for _ in rd) == 5

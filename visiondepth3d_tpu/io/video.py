@@ -68,13 +68,54 @@ def open_video(path, start_s=None, end_s=None):
     p = str(path)
     if p.endswith(".y4m") and start_s is None and end_s is None:
         return Y4MReader(p)
+    if p.endswith(".y4m") and not ff.have_ffmpeg():
+        # native clip window: y4m frames are fixed-size records, so the
+        # C reader seeks by index (vd3d_y4m_seek); non-seekable streams
+        # fall back to a sequential skip
+        rd = Y4MReader(p)
+        f0 = int(round((start_s or 0.0) * rd.fps))
+        if f0 > 0 and not rd.seek(f0):
+            for _ in range(f0):
+                if rd.read() is None:
+                    break
+        n = None
+        if end_s is not None:
+            n = max(0, int(round(end_s * rd.fps)) - f0)
+        return _ClippedReader(rd, n)
     if not ff.have_ffmpeg():
-        if p.endswith(".y4m"):
-            raise ValueError("clip windows require ffmpeg for non-trivial seeks")
         raise RuntimeError(
             f"cannot open {p}: ffmpeg not available and input is not .y4m"
         )
     return FFmpegY4MReader(p, start_s, end_s)
+
+
+class _ClippedReader:
+    """Frame-limited view over a reader (native y4m clip windows)."""
+
+    def __init__(self, rd, n_frames: int | None):
+        self._rd = rd
+        self._left = n_frames  # None = until EOF
+        self.width, self.height = rd.width, rd.height
+        self.fps = rd.fps
+
+    def read(self):
+        if self._left is not None:
+            if self._left <= 0:
+                return None
+            self._left -= 1
+        return self._rd.read()
+
+    def close(self):
+        self._rd.close()
+
+    def __getattr__(self, name):  # read_planes, fps_num, ... passthrough
+        return getattr(self._rd, name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class FFmpegEncoder:
